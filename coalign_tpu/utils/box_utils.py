@@ -1,0 +1,148 @@
+"""3D box utilities: center <-> corner, projection, range masks, encode/decode.
+
+TPU-first rework of opencood/utils/box_utils.py — pure jnp, fixed shapes,
+mask-friendly (invalid boxes are carried through and masked by the caller).
+
+Box order conventions follow the reference:
+  * 'hwl' (PointPillars family): box = [x, y, z, h, w, l, yaw]
+  * 'lwh': box = [x, y, z, l, w, h, yaw]
+yaw is radians around +z. (x, y, z) is the box center.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from coalign_tpu.utils.common import rotate_points_along_z
+from coalign_tpu.utils.transforms import project_points
+
+# Corner template (ref box_utils.py:193-196): bottom face 0-3, top face 4-7.
+_CORNER_TEMPLATE = jnp.array(
+    [
+        [1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
+        [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1],
+    ],
+    dtype=jnp.float32,
+) / 2.0
+
+
+def boxes_to_corners_3d(boxes3d, order: str = "hwl"):
+    """(N, 7) boxes -> (N, 8, 3) corners. Ref box_utils.py:152."""
+    boxes3d = jnp.asarray(boxes3d)
+    if order == "hwl":
+        boxes3d = boxes3d[..., [0, 1, 2, 5, 4, 3, 6]]  # -> lwh
+    else:
+        assert order == "lwh", f"unknown order {order}"
+    dims = boxes3d[..., 3:6]
+    corners = dims[..., None, :] * _CORNER_TEMPLATE  # (..., 8, 3)
+    flat = corners.reshape(-1, 8, 3)
+    yaw = boxes3d[..., 6].reshape(-1)
+    rotated = rotate_points_along_z(flat, yaw)
+    rotated = rotated.reshape(corners.shape)
+    return rotated + boxes3d[..., None, :3]
+
+
+def boxes_to_corners2d(boxes3d, order: str = "hwl"):
+    """(N, 7) -> (N, 4, 2) BEV bottom-face corners (ref box_utils.py:121)."""
+    corners = boxes_to_corners_3d(boxes3d, order)
+    return corners[..., :4, :2]
+
+
+def corners_to_standup_2d(corners):
+    """(..., K>=4, 2or3) corners -> (..., 4) [x1, y1, x2, y2] standup boxes.
+
+    Ref box_utils.py corner2d_to_standup_box / corner_to_standup_box_torch.
+    """
+    corners = jnp.asarray(corners)
+    x = corners[..., 0]
+    y = corners[..., 1]
+    return jnp.stack(
+        [x.min(axis=-1), y.min(axis=-1), x.max(axis=-1), y.max(axis=-1)],
+        axis=-1)
+
+
+def corner_to_center(corner3d, order: str = "hwl"):
+    """(N, 8, 3) corners -> (N, 7) boxes. Ref box_utils.py:25 corner_to_center."""
+    corner3d = jnp.asarray(corner3d)
+    xyz = jnp.mean(corner3d[..., [0, 3, 5, 6], :], axis=-2)
+    h = jnp.abs(jnp.mean(corner3d[..., 4:, 2] - corner3d[..., :4, 2], axis=-1))
+
+    def _edge(a, b):
+        d = corner3d[..., a, :2] - corner3d[..., b, :2]
+        return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+    l = (_edge(0, 3) + _edge(2, 1) + _edge(4, 7) + _edge(5, 6)) / 4.0
+    w = (_edge(0, 1) + _edge(2, 3) + _edge(4, 5) + _edge(6, 7)) / 4.0
+
+    def _theta(a, b):
+        d = corner3d[..., a, :] - corner3d[..., b, :]
+        return jnp.arctan2(d[..., 1], d[..., 0])
+
+    theta = (_theta(1, 2) + _theta(0, 3) + _theta(5, 6) + _theta(4, 7)) / 4.0
+
+    if order == "hwl":
+        return jnp.stack(
+            [xyz[..., 0], xyz[..., 1], xyz[..., 2], h, w, l, theta], axis=-1)
+    assert order == "lwh"
+    return jnp.stack(
+        [xyz[..., 0], xyz[..., 1], xyz[..., 2], l, w, h, theta], axis=-1)
+
+
+def project_box3d(corners3d, transformation_matrix):
+    """Project (N, 8, 3) corners with a 4x4 transform (ref box_utils.py:278)."""
+    return project_points(corners3d, transformation_matrix)
+
+
+def project_boxes7_by_tfm(boxes7, tfm, order: str = "hwl"):
+    """Project center-form boxes through an SE(3) transform, staying (N, 7)."""
+    corners = boxes_to_corners_3d(boxes7, order)
+    return corner_to_center(project_box3d(corners, tfm), order)
+
+
+def mask_boxes_outside_range(boxes7, limit_range, order: str = "hwl"):
+    """Validity mask for center-form boxes vs a [x1,y1,z1,x2,y2,z2] range.
+
+    Keeps a box if any BEV corner is inside the xy range (matching
+    ref box_utils.py:348 get_mask_for_boxes_within_range which tests corner
+    points). Returns bool (N,).
+    """
+    corners = boxes_to_corners_3d(boxes7, order)
+    return mask_corners_outside_range(corners, limit_range)
+
+
+def mask_corners_outside_range(corners, limit_range):
+    """(N, 8, 3) corner boxes -> bool (N,) any-corner-in-xy-range mask."""
+    corners = jnp.asarray(corners)
+    inside = (
+        (corners[..., 0] >= limit_range[0]) & (corners[..., 0] <= limit_range[3])
+        & (corners[..., 1] >= limit_range[1]) & (corners[..., 1] <= limit_range[4])
+    )
+    return jnp.any(inside, axis=-1)
+
+
+def remove_large_pred_bbx(corners3d, max_l=6.0, max_w=6.0, min_h=0.1, max_h=4.0):
+    """Sanity mask against degenerate decoded boxes (ref box_utils.py:561).
+
+    corners3d: (N, 8, 3) -> bool (N,).
+    """
+    corners3d = jnp.asarray(corners3d)
+    edge_l = jnp.linalg.norm(corners3d[..., 0, :2] - corners3d[..., 3, :2], axis=-1)
+    edge_w = jnp.linalg.norm(corners3d[..., 0, :2] - corners3d[..., 1, :2], axis=-1)
+    edge_h = jnp.abs(corners3d[..., 4, 2] - corners3d[..., 0, 2])
+    return (edge_l < max_l) & (edge_w < max_w) & (edge_h > min_h) & (edge_h < max_h)
+
+
+def remove_bbx_abnormal_z(corners3d, min_z=-3.0, max_z=1.0):
+    """Mask boxes whose mean z is outside [min_z, max_z] (ref box_utils.py:589)."""
+    mean_z = jnp.mean(jnp.asarray(corners3d)[..., 2], axis=-1)
+    return (mean_z >= min_z) & (mean_z <= max_z)
+
+
+def mask_points_by_range(points, limit_range):
+    """bool (N,) mask of points inside [x1,y1,z1,x2,y2,z2]."""
+    points = jnp.asarray(points)
+    return (
+        (points[..., 0] >= limit_range[0]) & (points[..., 0] <= limit_range[3])
+        & (points[..., 1] >= limit_range[1]) & (points[..., 1] <= limit_range[4])
+        & (points[..., 2] >= limit_range[2]) & (points[..., 2] <= limit_range[5])
+    )

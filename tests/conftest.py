@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax import.
+
+Multi-chip sharding (data-parallel pjit over a Mesh) is validated on host
+CPU devices; the real-TPU path is exercised by bench.py / the driver.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(303)  # seed matches ref inference_w_noise
