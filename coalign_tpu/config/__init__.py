@@ -1,0 +1,1 @@
+from coalign_tpu.config.yaml_utils import load_yaml, save_yaml  # noqa: F401

@@ -1,0 +1,79 @@
+"""Inference / evaluation loop: jitted forward + post-process, AP accumulation.
+
+TPU-first rework of opencood/tools/inference.py:40-227 +
+inference_utils.inference_intermediate_fusion: the model forward AND the
+full post-processing (decode -> dir fix -> NMS -> range mask) run as one
+jitted program per batch; only the final fixed-size (max_keep) box tensors
+come back to the host for AP accumulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.postprocess.decode import post_process_frame
+from coalign_tpu.utils import box_utils as B
+from coalign_tpu.utils import eval_utils as E
+
+
+def make_infer_fn(model, anchors, postprocess_cfg: dict):
+    """Returns a jitted (variables, batch) -> per-frame detections fn."""
+    score_thr = float(postprocess_cfg["target_args"]["score_threshold"])
+    nms_thr = float(postprocess_cfg["nms_thresh"])
+    gt_range = tuple(postprocess_cfg["gt_range"])
+    dir_args = postprocess_cfg.get("dir_args", {})
+    dir_offset = float(dir_args.get("dir_offset", 0.7853))
+    num_bins = int(dir_args.get("num_bins", 2))
+
+    anchors = jnp.asarray(anchors)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = model.apply(variables, batch, train=False)
+
+        def per_frame(cls_p, reg_p, dir_p, tfm):
+            return post_process_frame(
+                cls_p, reg_p, anchors, tfm, dir_preds=dir_p,
+                score_threshold=score_thr, nms_threshold=nms_thr,
+                gt_range=gt_range, dir_offset=dir_offset, num_bins=num_bins)
+
+        dir_preds = out.get("dir_preds")
+        if dir_preds is None:
+            dir_preds = jnp.zeros(out["cls_preds"].shape[:-1]
+                                  + (out["cls_preds"].shape[-1] * 2,))
+        return jax.vmap(per_frame)(
+            out["cls_preds"], out["reg_preds"], dir_preds,
+            batch["transformation_matrix"])
+
+    return infer
+
+
+def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
+             batch_size: int = 1, max_frames: int | None = None):
+    """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts)."""
+    infer = make_infer_fn(model, anchors, postprocess_cfg)
+    stat = E.new_result_stat()
+    frames = 0
+    for batch in batcher.batches(dataset, batch_size, shuffle=False,
+                                 drop_last=False):
+        dets = infer(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+        dets = jax.tree_util.tree_map(np.asarray, dets)
+        for bi in range(batch["gt_boxes"].shape[0]):
+            keep = dets["mask"][bi]
+            det_corners = dets["corners3d"][bi][keep]
+            det_scores = dets["scores"][bi][keep]
+            gt = batch["gt_boxes"][bi][batch["gt_mask"][bi]]
+            gt_corners = np.asarray(B.boxes_to_corners_3d(gt, "hwl"))
+            for t in (0.3, 0.5, 0.7):
+                E.accumulate_tp_fp(det_corners, det_scores, gt_corners,
+                                   stat, t)
+            frames += 1
+        if max_frames and frames >= max_frames:
+            break
+    result = E.eval_final_results(stat)
+    result["frames"] = frames
+    return result

@@ -1,0 +1,211 @@
+"""Shared flax building blocks (NHWC, TPU-native layouts).
+
+Covers the reference's conv submodules: torchvision BasicBlock / ResNet trunk
+(ref opencood/models/sub_modules/resblock.py), SECOND-style conv backbone
+blocks (base_bev_backbone.py), DownsampleConv shrink header
+(downsample_conv.py) and NaiveCompressor (naive_compress.py).
+
+BatchNorm uses eps 1e-3 / momentum 0.99 (torch momentum 0.01) like the
+reference. MaskedBatchNorm additionally supports an element weight mask so
+padded points / padded agents don't pollute batch statistics — the reference
+never sees padding because it flattens to sum(n_cav); we pad for static
+shapes, so the mask restores equivalent statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over all leading axes with optional element weights.
+
+    x: (..., C); mask: broadcastable to x.shape[:-1] (bool/float), or None.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
+                var = jnp.var(xf, axis=tuple(range(x.ndim - 1)))
+            else:
+                w = jnp.broadcast_to(
+                    jnp.asarray(mask, jnp.float32)[..., None], x.shape)
+                denom = jnp.maximum(jnp.sum(w, axis=tuple(range(x.ndim - 1))), 1.0)
+                mean = jnp.sum(xf * w, axis=tuple(range(x.ndim - 1))) / denom
+                var = jnp.sum(w * (xf - mean) ** 2,
+                              axis=tuple(range(x.ndim - 1))) / denom
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.asarray(scale, x.dtype) / jnp.sqrt(
+            var.astype(x.dtype) + self.epsilon)
+        return (x - mean.astype(x.dtype)) * inv + jnp.asarray(bias, x.dtype)
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int | str = 1
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        pad = self.padding if isinstance(self.padding, str) else \
+            [(self.padding, self.padding)] * 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=pad,
+                    use_bias=False)(x)
+        x = MaskedBatchNorm()(x, mask=mask, train=train)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (ref resblock.py:23), NHWC."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], use_bias=False)(x)
+        out = MaskedBatchNorm()(out, mask=mask, train=train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False)(out)
+        out = MaskedBatchNorm()(out, mask=mask, train=train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False)(x)
+            identity = MaskedBatchNorm()(identity, mask=mask, train=train)
+        return nn.relu(out + identity)
+
+
+class ResNetTrunk(nn.Module):
+    """Stacked BasicBlock stages returning per-stage features
+    (ref resblock.py:130 ResNetModified)."""
+
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        outs = []
+        for n, stride, filters in zip(self.layer_nums, self.layer_strides,
+                                      self.num_filters):
+            x = BasicBlock(filters, stride)(x, train=train, mask=mask)
+            for _ in range(n - 1):
+                x = BasicBlock(filters, 1)(x, train=train, mask=mask)
+            outs.append(x)
+        return tuple(outs)
+
+
+class ConvStage(nn.Module):
+    """SECOND-style plain conv stage: strided conv + n 3x3 convs
+    (ref base_bev_backbone.py:30-60)."""
+
+    num_convs: int
+    filters: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        x = ConvBNReLU(self.filters, 3, self.stride, 1)(x, train=train, mask=mask)
+        for _ in range(self.num_convs):
+            x = ConvBNReLU(self.filters, 3, 1, 1)(x, train=train, mask=mask)
+        return x
+
+
+class Deblock(nn.Module):
+    """Upsample (transposed conv) or downsample block used by the BEV
+    backbones' decode stage (ref base_bev_backbone_resnet.py:51-77)."""
+
+    filters: int
+    upsample_stride: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        s = self.upsample_stride
+        if s >= 1:
+            s = int(s)
+            x = nn.ConvTranspose(self.filters, (s, s), strides=(s, s),
+                                 use_bias=False)(x)
+        else:
+            s = int(round(1 / s))
+            x = nn.Conv(self.filters, (s, s), strides=(s, s),
+                        use_bias=False)(x)
+        x = MaskedBatchNorm()(x, mask=mask, train=train)
+        return nn.relu(x)
+
+
+class DownsampleConv(nn.Module):
+    """Shrink header (ref downsample_conv.py:30): stacked DoubleConvs."""
+
+    dims: Sequence[int]
+    kernel_sizes: Sequence[int]
+    strides: Sequence[int]
+    paddings: Sequence[int]
+
+    @classmethod
+    def from_config(cls, cfg: dict):
+        return cls(dims=tuple(cfg["dim"]),
+                   kernel_sizes=tuple(cfg["kernal_size"]),
+                   strides=tuple(cfg["stride"]),
+                   paddings=tuple(cfg["padding"]))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for k, d, s, p in zip(self.kernel_sizes, self.dims, self.strides,
+                              self.paddings):
+            x = nn.Conv(d, (k, k), strides=(s, s), padding=[(p, p)] * 2)(x)
+            x = nn.relu(x)
+            x = nn.Conv(d, (3, 3), padding=[(1, 1)] * 2)(x)
+            x = nn.relu(x)
+        return x
+
+
+class NaiveCompressor(nn.Module):
+    """Channel-bottleneck autoencoder simulating bandwidth compression
+    (ref naive_compress.py:5)."""
+
+    input_dim: int
+    compress_ratio: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        x = ConvBNReLU(self.input_dim // self.compress_ratio, 3, 1, 1)(
+            x, train=train, mask=mask)
+        x = ConvBNReLU(self.input_dim, 3, 1, 1)(x, train=train, mask=mask)
+        x = ConvBNReLU(self.input_dim, 3, 1, 1)(x, train=train, mask=mask)
+        return x

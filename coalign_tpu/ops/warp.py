@@ -1,0 +1,76 @@
+"""Differentiable BEV affine warping (torch affine_grid + grid_sample parity).
+
+Replaces opencood/models/sub_modules/torch_transformation_utils.py:322
+(warp_affine_simple) with a pure-XLA bilinear gather over NHWC feature maps.
+Semantics match ``F.affine_grid(M, align_corners=False)`` +
+``F.grid_sample(mode='bilinear', padding_mode='zeros',
+align_corners=False)`` — the exact convention the normalized pairwise
+affines (utils/transforms.py normalize_pairwise_tfm) are built for.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def warp_affine(src, affine, out_hw=None):
+    """Warp a single NHWC feature map by a 2x3 normalized affine.
+
+    src:    (H, W, C)
+    affine: (2, 3) mapping normalized OUTPUT coords -> normalized SRC coords
+            (x right along W, y down along H, align_corners=False).
+    out_hw: optional (H_out, W_out), defaults to src H, W.
+    Returns (H_out, W_out, C); out-of-bounds samples are zero.
+    """
+    h, w, _ = src.shape
+    oh, ow = out_hw or (h, w)
+    # normalized output pixel centers, align_corners=False
+    ys = (2.0 * jnp.arange(oh, dtype=src.dtype) + 1.0) / oh - 1.0
+    xs = (2.0 * jnp.arange(ow, dtype=src.dtype) + 1.0) / ow - 1.0
+    gx = affine[0, 0] * xs[None, :] + affine[0, 1] * ys[:, None] + affine[0, 2]
+    gy = affine[1, 0] * xs[None, :] + affine[1, 1] * ys[:, None] + affine[1, 2]
+    # normalized -> source pixel coords (align_corners=False unnormalize)
+    fx = ((gx + 1.0) * w - 1.0) / 2.0
+    fy = ((gy + 1.0) * h - 1.0) / 2.0
+    return _bilinear_gather(src, fx, fy)
+
+
+def _bilinear_gather(src, fx, fy):
+    """Zero-padded bilinear sampling of (H, W, C) at float coords (..., )."""
+    h, w, c = src.shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = src.reshape(h * w, c)
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = flat[idx.reshape(-1)].reshape(idx.shape + (c,))
+        return vals * inb[..., None].astype(src.dtype)
+
+    w00 = ((1 - tx) * (1 - ty))[..., None]
+    w01 = (tx * (1 - ty))[..., None]
+    w10 = ((1 - tx) * ty)[..., None]
+    w11 = (tx * ty)[..., None]
+    return (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
+            + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
+
+
+def warp_agents_to_ego(features, affines, agent_mask):
+    """Warp every agent's BEV map into the ego frame, batched.
+
+    features:   (B, L, H, W, C) per-agent NHWC feature maps.
+    affines:    (B, L, 2, 3) normalized affines ego->agent_j (i.e. row 0 of
+                the normalized pairwise matrix, ref fusion_in_one.py:36-40 —
+                grid_sample needs the output->source mapping).
+    agent_mask: (B, L) bool; invalid agents produce all-zero maps.
+    Returns (B, L, H, W, C).
+    """
+    warped = jax.vmap(jax.vmap(warp_affine))(features, affines)
+    return warped * agent_mask[..., None, None, None].astype(features.dtype)

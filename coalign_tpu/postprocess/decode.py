@@ -1,0 +1,118 @@
+"""Anchor decode + full detection post-processing as one jitted program.
+
+TPU-first rework of ref voxel_postprocessor.py:243-450 (post_process /
+delta_to_boxes3d): sigmoid -> threshold -> dir-bin fix -> (optional IoU
+rescoring) -> project to ego -> sanity filters -> rotated NMS -> range mask,
+all with fixed shapes (top-K prefilter + masked outputs) and zero host
+round-trips — the reference does shapely NMS on CPU mid-pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.utils import box_utils as B
+from coalign_tpu.utils.common import limit_period
+from coalign_tpu.utils.nms import nms_rotated
+
+
+def delta_to_boxes3d(deltas, anchors):
+    """Decode regression deltas against the anchor grid.
+
+    deltas:  (..., H, W, A*7) NHWC regression map.
+    anchors: (H, W, A, 7) static anchor grid (order 'hwl').
+    Returns (..., H*W*A, 7) center-form boxes.
+    Ref: voxel_postprocessor.py:404 delta_to_boxes3d.
+    """
+    anchors = jnp.asarray(anchors)
+    flat_anchors = anchors.reshape(-1, 7)
+    diag = jnp.sqrt(flat_anchors[:, 4] ** 2 + flat_anchors[:, 5] ** 2)
+    batch_shape = deltas.shape[:-3]
+    d = deltas.reshape(batch_shape + (-1, 7))
+    xy = d[..., 0:2] * diag[:, None] + flat_anchors[:, 0:2]
+    z = d[..., 2:3] * flat_anchors[:, 3:4] + flat_anchors[:, 2:3]
+    hwl = jnp.exp(d[..., 3:6]) * flat_anchors[:, 3:6]
+    yaw = d[..., 6:7] + flat_anchors[:, 6:7]
+    return jnp.concatenate([xy, z, hwl, yaw], axis=-1)
+
+
+def correct_direction(boxes7, dir_logits, dir_offset: float, num_bins: int):
+    """Resolve heading ambiguity with the direction classifier.
+
+    boxes7: (..., K, 7); dir_logits: (..., K, num_bins).
+    Ref: voxel_postprocessor.py:317-333.
+    """
+    dir_labels = jnp.argmax(dir_logits, axis=-1).astype(boxes7.dtype)
+    period = 2 * np.pi / num_bins
+    dir_rot = limit_period(boxes7[..., 6] - dir_offset, 0.0, period)
+    yaw = dir_rot + dir_offset + period * dir_labels
+    yaw = limit_period(yaw, 0.5, 2 * np.pi)
+    return jnp.concatenate([boxes7[..., :6], yaw[..., None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("score_threshold", "nms_threshold",
+                                   "prefilter_k", "max_keep", "dir_offset",
+                                   "num_bins", "gt_range"))
+def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
+                       dir_preds=None, iou_preds=None, *,
+                       score_threshold: float, nms_threshold: float,
+                       gt_range: tuple, prefilter_k: int = 512,
+                       max_keep: int = 100, dir_offset: float = 0.7853,
+                       num_bins: int = 2):
+    """Single-frame detection head -> final boxes, fully on device.
+
+    cls_preds: (H, W, A) logits; reg_preds: (H, W, A*7);
+    dir_preds: (H, W, A*num_bins) or None; iou_preds: (H, W, A) or None.
+    transformation_matrix: (4, 4) to ego frame (identity for intermediate
+    fusion, per-agent transform for late fusion).
+
+    Returns dict(corners3d (max_keep, 8, 3), boxes7 (max_keep, 7),
+    scores (max_keep,), mask (max_keep,) bool) — fixed shapes, ranked by
+    score. Semantics follow ref voxel_postprocessor.py:243-402.
+    """
+    h, w, a = cls_preds.shape
+    k = h * w * a
+    scores = jax.nn.sigmoid(cls_preds.reshape(k))
+    boxes7 = delta_to_boxes3d(reg_preds, anchors)  # (K, 7)
+
+    if dir_preds is not None:
+        dir_logits = dir_preds.reshape(k, num_bins)
+        boxes7 = correct_direction(boxes7, dir_logits, dir_offset, num_bins)
+
+    if iou_preds is not None:
+        # IoU-head rescoring: score *= ((iou+1)/2)^4 (ref :335-339)
+        iou = jnp.clip(jax.nn.sigmoid(iou_preds.reshape(k)), 0.0, 1.0)
+        scores = scores * ((iou + 1) * 0.5) ** 4
+
+    valid = scores > score_threshold
+
+    # top-k prefilter keeps shapes small for the NMS IoU matrix
+    sel_scores, sel_idx = jax.lax.top_k(jnp.where(valid, scores, -1.0),
+                                        prefilter_k)
+    sel_valid = sel_scores > 0
+    sel_boxes = boxes7[sel_idx]
+
+    corners = B.boxes_to_corners_3d(sel_boxes, "hwl")  # (P, 8, 3)
+    corners = B.project_box3d(corners, transformation_matrix)
+
+    sane = (B.remove_large_pred_bbx(corners)
+            & B.remove_bbx_abnormal_z(corners)
+            & B.mask_corners_outside_range(corners, gt_range))
+    sel_valid = sel_valid & sane
+
+    order, keep_mask = nms_rotated(corners[:, :4, :2], sel_scores, sel_valid,
+                                   nms_threshold)
+    ranked_corners = corners[order][:max_keep]
+    ranked_scores = sel_scores[order][:max_keep]
+    ranked_boxes7 = sel_boxes[order][:max_keep]
+    keep = keep_mask[:max_keep]
+    return {
+        "corners3d": ranked_corners * keep[:, None, None],
+        "boxes7": ranked_boxes7 * keep[:, None],
+        "scores": jnp.where(keep, ranked_scores, 0.0),
+        "mask": keep,
+    }

@@ -1,0 +1,137 @@
+"""Training loop: optax + orbax, fully jitted step, mesh data parallelism.
+
+TPU-first rework of opencood/tools/train.py:32-194 / train_ddp.py. The whole
+step (label assignment -> forward -> loss -> grads -> update) is ONE jitted
+program; labels are generated on device from padded gt boxes, so the host
+only feeds raw padded points.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from coalign_tpu.postprocess.anchors import AnchorSpec, assign_targets
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def build_optimizer(opt_cfg: dict, sched_cfg: dict | None,
+                    steps_per_epoch: int = 1000):
+    """Adam + multistep/exp/cosanneal schedule from the yaml ``optimizer`` /
+    ``lr_scheduler`` subtrees (ref train_utils.py:185-246)."""
+    lr = opt_cfg.get("lr", 1e-3)
+    if sched_cfg:
+        method = sched_cfg.get("core_method", "multistep")
+        if method == "multistep":
+            gamma = sched_cfg.get("gamma", 0.1)
+            bounds = {int(e) * steps_per_epoch: gamma
+                      for e in sched_cfg.get("step_size", [])}
+            schedule = optax.piecewise_constant_schedule(lr, bounds)
+        elif method == "exponential":
+            schedule = optax.exponential_decay(
+                lr, steps_per_epoch, sched_cfg.get("gamma", 0.98))
+        else:
+            schedule = lr
+    else:
+        schedule = lr
+    wd = float(opt_cfg.get("args", {}).get("weight_decay", 0.0))
+    eps = float(opt_cfg.get("args", {}).get("eps", 1e-8))
+    if wd:
+        return optax.adamw(schedule, eps=eps, weight_decay=wd)
+    return optax.adam(schedule, eps=eps)
+
+
+def create_train_state(model, batch, tx, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(rng, batch, train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
+    """Returns a jitted (state, batch) -> (state, metrics) step."""
+
+    def step(state: TrainState, batch: dict):
+        labels = jax.vmap(partial(assign_targets, spec=anchor_spec))(
+            batch["gt_boxes"], batch["gt_mask"])
+
+        def loss_of(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"])
+            total, metrics = loss_fn(out, labels)
+            return total, (metrics, mutated["batch_stats"])
+
+        grads, (metrics, new_stats) = jax.grad(
+            loss_of, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def save_checkpoint(state: TrainState, ckpt_dir: str, step: int):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": state.params,
+                      "batch_stats": state.batch_stats}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": state.params, "batch_stats": state.batch_stats}
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"])
+
+
+def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
+                 *, epochs: int, batch_size: int, log_every: int = 10,
+                 ckpt_dir: str | None = None, save_freq: int = 0,
+                 mesh=None, callback=None):
+    """Simple epoch loop (ref train.py:102-171 without the DDP scaffolding)."""
+    from coalign_tpu.parallel.mesh import shard_batch
+
+    step_fn = make_train_step(model, loss_fn, anchor_spec)
+    history = []
+    step = 0
+    for epoch in range(epochs):
+        t0 = time.time()
+        for batch in batcher.batches(dataset, batch_size):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            if step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(epoch=epoch, step=step)
+                history.append(m)
+                if callback:
+                    callback(m)
+        if ckpt_dir and save_freq and (epoch + 1) % save_freq == 0:
+            save_checkpoint(state, ckpt_dir, step)
+        _ = time.time() - t0
+    return state, history

@@ -1,0 +1,78 @@
+import numpy as np
+import jax.numpy as jnp
+
+from coalign_tpu.ops import pillars as P
+
+
+SPEC = P.PillarSpec.from_config([-8.0, -4.0, -3.0, 8.0, 4.0, 1.0],
+                                [0.4, 0.4, 4.0])
+
+
+def _oracle_bev(points, weight, bias):
+    """Numpy oracle mimicking ref PillarVFE + scatter semantics
+    (dict voxelizer, cluster/center decoration, linear+relu, max, scatter)."""
+    nx, ny = SPEC.nx, SPEC.ny
+    r, v = SPEC.lidar_range, SPEC.voxel_size
+    pillars = {}
+    for p in points:
+        x, y, z = p[:3]
+        if not (r[0] <= x < r[3] and r[1] <= y < r[4] and r[2] <= z <= r[5]):
+            continue
+        ix, iy = int(np.floor((x - r[0]) / v[0])), int(np.floor((y - r[1]) / v[1]))
+        pillars.setdefault((iy, ix), []).append(p)
+    bev = np.zeros((ny, nx, weight.shape[1]), dtype=np.float32)
+    for (iy, ix), pts in pillars.items():
+        pts = np.stack(pts)
+        mean = pts[:, :3].mean(axis=0)
+        cx = ix * v[0] + v[0] / 2 + r[0]
+        cy = iy * v[1] + v[1] / 2 + r[1]
+        cz = v[2] / 2 + r[2]
+        feats = np.concatenate(
+            [pts, pts[:, :3] - mean, pts[:, :3] - [cx, cy, cz]], axis=1)
+        out = np.maximum(feats @ weight + bias, 0.0)
+        bev[iy, ix] = out.max(axis=0)
+    return bev
+
+
+def test_pillar_pipeline_matches_oracle(rng):
+    n = 500
+    pts = np.zeros((n, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(-10, 10, n)   # some out of range
+    pts[:, 1] = rng.uniform(-5, 5, n)
+    pts[:, 2] = rng.uniform(-3.5, 1.5, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    mask = np.ones(n, dtype=bool)
+    mask[-50:] = False  # padded points
+
+    weight = rng.normal(size=(10, 8)).astype(np.float32)
+    bias = rng.normal(size=(8,)).astype(np.float32)
+
+    ids, valid = P.pillar_ids(jnp.asarray(pts), jnp.asarray(mask), SPEC)
+    feats = P.decorate_points(jnp.asarray(pts), ids, valid, SPEC)
+    mlp_out = jnp.maximum(feats @ jnp.asarray(weight) + bias, 0.0)
+    # invalid rows must not contribute
+    bev = np.asarray(P.scatter_max_bev(mlp_out, ids, valid, SPEC))
+
+    want = _oracle_bev(pts[mask], weight, bias)
+    np.testing.assert_allclose(bev, want, atol=1e-3, rtol=1e-3)
+
+
+def test_pillar_counts(rng):
+    pts = np.array([[0.1, 0.1, 0, 0.5], [0.15, 0.12, 0, 0.2],
+                    [-7.9, -3.9, 0, 0.1], [99, 0, 0, 0]], dtype=np.float32)
+    mask = np.ones(4, dtype=bool)
+    ids, valid = P.pillar_ids(jnp.asarray(pts), jnp.asarray(mask), SPEC)
+    assert np.asarray(valid).tolist() == [True, True, True, False]
+    cnt = np.asarray(P.pillar_count_bev(ids, valid, SPEC))
+    assert cnt.sum() == 3
+    assert cnt.max() == 2  # two points share a pillar
+
+
+def test_empty_frame():
+    pts = np.zeros((16, 4), dtype=np.float32)
+    mask = np.zeros(16, dtype=bool)
+    ids, valid = P.pillar_ids(jnp.asarray(pts), jnp.asarray(mask), SPEC)
+    feats = P.decorate_points(jnp.asarray(pts), ids, valid, SPEC)
+    bev = np.asarray(P.scatter_max_bev(feats, ids, valid, SPEC))
+    assert bev.shape == (SPEC.ny, SPEC.nx, 10)
+    assert np.all(bev == 0)
