@@ -1,1 +1,20 @@
-from coalign_tpu.loss.point_pillar_loss import PointPillarLoss, build_loss  # noqa: F401
+"""Loss registry mirroring the reference's ``loss.core_method`` reflection
+(ref opencood/tools/train_utils.py:149-182)."""
+
+from coalign_tpu.loss.point_pillar_loss import (  # noqa: F401
+    PointPillarLoss, build_loss as _build_point_pillar)
+
+
+def build_loss(cfg: dict):
+    """Accepts either the full yaml ``loss`` subtree ({core_method, args})
+    or bare args (treated as point_pillar_loss)."""
+    if "core_method" in cfg:
+        name, args = cfg["core_method"], cfg.get("args", {})
+    else:
+        name, args = "point_pillar_loss", cfg
+    if name == "point_pillar_loss":
+        return _build_point_pillar(args)
+    if name in ("point_pillar_uncertainty_loss", "point_pillar_unc_loss"):
+        from coalign_tpu.loss.uncertainty_loss import build_uncertainty_loss
+        return build_uncertainty_loss(args)
+    raise KeyError(f"unknown loss {name!r}")

@@ -94,12 +94,18 @@ def _when2comm(args, dim):
     )
 
 
+def _v2xvit(args, dim):
+    from coalign_tpu.models.fuse.v2xvit import V2XViTFusion
+    return V2XViTFusion.from_yaml(args["v2xvit"], dim)
+
+
 _FUSIONS = {
     "max": lambda args, dim: MaxFusion(),
     "att": lambda args, dim: AttFusion(dim),
     "disconet": _disconet,
     "v2vnet": _v2vnet,
     "when2comm": _when2comm,
+    "v2xvit": _v2xvit,
 }
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from coalign_tpu.models import register_model
@@ -205,3 +206,67 @@ class PointPillarBaselineMultiscale(_CollaborativeBase):
 @register_model("point_pillar_coalign")
 class CoAlign(PointPillarBaselineMultiscale):
     """Alias (ref point_pillar_coalign.py:9)."""
+
+
+@register_model("point_pillar_where2comm")
+class PointPillarWhere2comm(_CollaborativeBase):
+    """Where2comm: per-agent confidence -> sparse transmission masks ->
+    multiscale fusion (ref comm_modules/where2comm.py +
+    fuse_modules/where2comm_attn.py:174). Single-agent heads provide both
+    the confidence maps and the ``_single`` supervision outputs."""
+
+    def setup(self):
+        from coalign_tpu.models.fuse.where2comm import Where2commFusion
+
+        self.encoder = self._make_encoder()
+        bb_cfg = self.args["base_bev_backbone"]
+        self.backbone = _backbone_from_config(bb_cfg)
+        w2c = self.args.get("where2comm", {})
+        self.fusion = Where2commFusion(
+            agg_mode=w2c.get("agg_operator", {}).get("mode", "ATTEN"),
+            feature_dims=tuple(bb_cfg["num_filters"]))
+        self.shrink = (DownsampleConv.from_config(self.args["shrink_header"])
+                       if "shrink_header" in self.args else None)
+        self.heads = self._make_heads()
+        self.single_heads = self._make_heads()
+
+    def __call__(self, batch, train: bool = False):
+        bev, affine, bn_mask, (b, l) = self._encode_agents(batch, train)
+        scales = self.backbone.encode(bev, train=train, mask=bn_mask)
+
+        single_feat = self.backbone.decode(scales, train=train, mask=bn_mask)
+        if self.shrink is not None:
+            single_feat = self.shrink(single_feat, train=train)
+        single_out = self.single_heads(single_feat)
+
+        h0, w0, a = single_out["cls_preds"].shape[1:]
+        conf_logits = single_out["cls_preds"].reshape(b, l, h0, w0, a)
+        conf_logits = jnp.asarray(jax.lax.stop_gradient(conf_logits))
+
+        batched_scales = [
+            f.reshape(b, l, *f.shape[1:]) for f in scales
+        ]
+        fused_scales, comm_rate = self.fusion(
+            batched_scales, conf_logits, affine, batch["agent_mask"],
+            train=train)
+        fused = self.backbone.decode(tuple(fused_scales), train=train)
+        if self.shrink is not None:
+            fused = self.shrink(fused, train=train)
+        out = self.heads(fused)
+        out["comm_rate"] = comm_rate
+        for k, v in single_out.items():
+            out[k + "_single"] = v
+        return out
+
+
+@register_model("point_pillar_uncertainty")
+class PointPillarUncertainty(PointPillar):
+    """Single-agent PointPillars with a log-variance head — the CoAlign
+    stage-1 detector feeding the pose graph
+    (ref opencood/models/point_pillar_uncertainty.py:15)."""
+
+    @classmethod
+    def from_config(cls, args: dict):
+        args = dict(args)
+        args.setdefault("uncertainty_dim", 3)
+        return cls(args=args)

@@ -58,7 +58,7 @@ def correct_direction(boxes7, dir_logits, dir_offset: float, num_bins: int):
                                    "prefilter_k", "max_keep", "dir_offset",
                                    "num_bins", "gt_range"))
 def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
-                       dir_preds=None, iou_preds=None, *,
+                       dir_preds=None, iou_preds=None, unc_preds=None, *,
                        score_threshold: float, nms_threshold: float,
                        gt_range: tuple, prefilter_k: int = 512,
                        max_keep: int = 100, dir_offset: float = 0.7853,
@@ -110,9 +110,16 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
     ranked_scores = sel_scores[order][:max_keep]
     ranked_boxes7 = sel_boxes[order][:max_keep]
     keep = keep_mask[:max_keep]
-    return {
+    out = {
         "corners3d": ranked_corners * keep[:, None, None],
         "boxes7": ranked_boxes7 * keep[:, None],
         "scores": jnp.where(keep, ranked_scores, 0.0),
         "mask": keep,
     }
+    if unc_preds is not None:
+        # per-box log sigma^2 carried through selection + NMS ranking
+        # (ref uncertainty_voxel_postprocessor.py post_process_stage1:31)
+        unc_dim = unc_preds.shape[-1] // a
+        unc = unc_preds.reshape(k, unc_dim)
+        out["uncertainty"] = unc[sel_idx][order][:max_keep] * keep[:, None]
+    return out

@@ -1,0 +1,63 @@
+"""Pose-noise robustness sweep (the CoAlign headline experiment).
+
+TPU-first rework of opencood/tools/inference_w_noise.py:70-120: evaluate AP
+at sigma_pos/sigma_rot in {0, 0.2, 0.4, 0.6} (m / deg), Gaussian (optionally
+Laplace), rebuilding batches per noise setting; optionally running the
+stage-1 + pose-graph correction before fusion.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.inference import make_infer_fn
+from coalign_tpu.utils import box_utils as B
+from coalign_tpu.utils import eval_utils as E
+
+NOISE_LEVELS = ((0.0, 0.0), (0.2, 0.2), (0.4, 0.4), (0.6, 0.6))
+
+
+def noise_sweep(model, variables, batcher_factory, dataset, anchors,
+                postprocess_cfg, *, stage1=None, stage1_variables=None,
+                align_cfg=None, levels=NOISE_LEVELS, batch_size=4,
+                max_frames=None):
+    """Returns {(pos_std, rot_std): {'ap30','ap50','ap70'}}.
+
+    batcher_factory(pos_std, rot_std) must return a fresh batcher so each
+    noise level redraws poses (ref inference_w_noise.py rebuilds the
+    dataset per setting, seed 303).
+    stage1: optional jitted stage-1 fn (tools/stage1.make_stage1_fn) — when
+    given, poses are pose-graph corrected before fusion (CoAlign pass 2).
+    """
+    from coalign_tpu.tools.stage1 import correct_batch_poses
+
+    infer = make_infer_fn(model, anchors, postprocess_cfg)
+    results = {}
+    for pos_std, rot_std in levels:
+        batcher = batcher_factory(pos_std, rot_std)
+        stat = E.new_result_stat()
+        frames = 0
+        for batch in batcher.batches(dataset, batch_size, shuffle=False,
+                                     drop_last=False):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if stage1 is not None and (pos_std > 0 or rot_std > 0):
+                dets = stage1(stage1_variables, jbatch)
+                jbatch = correct_batch_poses(
+                    jbatch, dets, align_cfg) if align_cfg else \
+                    correct_batch_poses(jbatch, dets)
+            dets = infer(variables, jbatch)
+            dets = {k: np.asarray(v) for k, v in dets.items()}
+            for bi in range(batch["gt_boxes"].shape[0]):
+                keep = dets["mask"][bi]
+                gt = batch["gt_boxes"][bi][batch["gt_mask"][bi]]
+                gt_corners = np.asarray(B.boxes_to_corners_3d(gt, "hwl"))
+                for t in (0.3, 0.5, 0.7):
+                    E.accumulate_tp_fp(dets["corners3d"][bi][keep],
+                                       dets["scores"][bi][keep],
+                                       gt_corners, stat, t)
+                frames += 1
+            if max_frames and frames >= max_frames:
+                break
+        results[(pos_std, rot_std)] = E.eval_final_results(stat)
+    return results

@@ -57,9 +57,10 @@ def accumulate_tp_fp(det_corners, det_scores, gt_corners, result_stat,
         stat["tp"] += [0] * len(order)
         return
 
-    iou = np.asarray(
-        rotated_iou_corners(det_corners.astype(np.float32),
-                            gt_corners.astype(np.float32)))  # (N, M)
+    # pure-numpy IoU: per-frame shapes vary, a jnp call here would trigger
+    # a fresh device compile every frame
+    iou = rotated_iou_corners(det_corners.astype(np.float32),
+                              gt_corners.astype(np.float32), xp=np)  # (N, M)
     gt_alive = np.ones(gt_corners.shape[0], dtype=bool)
     for i in order:
         ious = np.where(gt_alive, iou[i], -1.0)

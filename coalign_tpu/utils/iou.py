@@ -40,37 +40,37 @@ def standup_iou(boxes, query_boxes, offset: float = 0.0):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def polygon_area(corners):
+def polygon_area(corners, xp=jnp):
     """Shoelace area of (..., K, 2) polygons with vertices in order."""
-    corners = jnp.asarray(corners)
+    corners = xp.asarray(corners)
     x = corners[..., 0]
     y = corners[..., 1]
-    x_next = jnp.roll(x, -1, axis=-1)
-    y_next = jnp.roll(y, -1, axis=-1)
-    return 0.5 * jnp.abs(jnp.sum(x * y_next - x_next * y, axis=-1))
+    x_next = xp.roll(x, -1, axis=-1)
+    y_next = xp.roll(y, -1, axis=-1)
+    return 0.5 * xp.abs(xp.sum(x * y_next - x_next * y, axis=-1))
 
 
-def _points_in_quad(points, quad, eps=1e-6):
+def _points_in_quad(points, quad, eps=1e-6, xp=jnp):
     """points: (..., P, 2), quad: (..., 4, 2) convex, any winding -> bool (..., P)."""
     a = quad
-    b = jnp.roll(quad, -1, axis=-2)
+    b = xp.roll(quad, -1, axis=-2)
     edge = b - a  # (..., 4, 2)
     # cross(edge_k, p - a_k) for all points x edges
     rel = points[..., :, None, :] - a[..., None, :, :]  # (..., P, 4, 2)
     cross = (edge[..., None, :, 0] * rel[..., 1]
              - edge[..., None, :, 1] * rel[..., 0])  # (..., P, 4)
-    return (jnp.all(cross >= -eps, axis=-1) | jnp.all(cross <= eps, axis=-1))
+    return (xp.all(cross >= -eps, axis=-1) | xp.all(cross <= eps, axis=-1))
 
 
-def _segment_intersections(quad1, quad2, eps=1e-9):
+def _segment_intersections(quad1, quad2, eps=1e-9, xp=jnp):
     """All 16 edge-edge crossing candidates of two quads.
 
     quad1/quad2: (..., 4, 2). Returns points (..., 16, 2), valid (..., 16).
     """
     p = quad1
-    r = jnp.roll(quad1, -1, axis=-2) - quad1  # (..., 4, 2) edge vectors
+    r = xp.roll(quad1, -1, axis=-2) - quad1  # (..., 4, 2) edge vectors
     q = quad2
-    s = jnp.roll(quad2, -1, axis=-2) - quad2
+    s = xp.roll(quad2, -1, axis=-2) - quad2
     # broadcast to (..., 4, 4)
     p_ = p[..., :, None, :]
     r_ = r[..., :, None, :]
@@ -80,10 +80,10 @@ def _segment_intersections(quad1, quad2, eps=1e-9):
     qp = q_ - p_
     t_num = qp[..., 0] * s_[..., 1] - qp[..., 1] * s_[..., 0]
     u_num = qp[..., 0] * r_[..., 1] - qp[..., 1] * r_[..., 0]
-    denom_safe = jnp.where(jnp.abs(denom) < eps, 1.0, denom)
+    denom_safe = xp.where(xp.abs(denom) < eps, 1.0, denom)
     t = t_num / denom_safe
     u = u_num / denom_safe
-    valid = ((jnp.abs(denom) >= eps)
+    valid = ((xp.abs(denom) >= eps)
              & (t >= -eps) & (t <= 1 + eps)
              & (u >= -eps) & (u <= 1 + eps))
     pts = p_ + t[..., None] * r_
@@ -91,59 +91,60 @@ def _segment_intersections(quad1, quad2, eps=1e-9):
     return pts.reshape(batch + (16, 2)), valid.reshape(batch + (16,))
 
 
-def quad_intersection_area(quad1, quad2):
+def quad_intersection_area(quad1, quad2, xp=jnp):
     """Intersection area of two convex quads, batched over leading dims.
 
     quad1/quad2: (..., 4, 2). Returns (...,) areas. Branch-free:
     candidates = {corners of A in B} + {corners of B in A} + {edge crossings},
     sorted by angle around the valid-candidate centroid, shoelace over the
-    valid prefix.
+    valid prefix. ``xp`` selects jnp (device) or np (host eval path — avoids
+    a device round-trip/recompile per frame).
     """
-    quad1 = jnp.asarray(quad1)
-    quad2 = jnp.asarray(quad2)
-    in12 = _points_in_quad(quad1, quad2)  # (..., 4)
-    in21 = _points_in_quad(quad2, quad1)
-    xpts, xvalid = _segment_intersections(quad1, quad2)
-    cand = jnp.concatenate([quad1, quad2, xpts], axis=-2)  # (..., 24, 2)
-    valid = jnp.concatenate([in12, in21, xvalid], axis=-1)  # (..., 24)
+    quad1 = xp.asarray(quad1)
+    quad2 = xp.asarray(quad2)
+    in12 = _points_in_quad(quad1, quad2, xp=xp)  # (..., 4)
+    in21 = _points_in_quad(quad2, quad1, xp=xp)
+    xpts, xvalid = _segment_intersections(quad1, quad2, xp=xp)
+    cand = xp.concatenate([quad1, quad2, xpts], axis=-2)  # (..., 24, 2)
+    valid = xp.concatenate([in12, in21, xvalid], axis=-1)  # (..., 24)
 
-    count = jnp.sum(valid, axis=-1)  # (...,)
+    count = xp.sum(valid, axis=-1)  # (...,)
     vf = valid[..., None].astype(cand.dtype)
-    centroid = (jnp.sum(cand * vf, axis=-2)
-                / jnp.maximum(count, 1)[..., None])  # (..., 2)
+    centroid = (xp.sum(cand * vf, axis=-2)
+                / xp.maximum(count, 1)[..., None])  # (..., 2)
     rel = cand - centroid[..., None, :]
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid sorted last
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(cand, order[..., None], axis=-2)
+    ang = xp.arctan2(rel[..., 1], rel[..., 0])
+    ang = xp.where(valid, ang, xp.inf)  # invalid sorted last
+    order = xp.argsort(ang, axis=-1)
+    sorted_pts = xp.take_along_axis(cand, order[..., None], axis=-2)
 
-    idx = jnp.arange(cand.shape[-2])
-    m = jnp.maximum(count, 1)[..., None]
+    idx = xp.arange(cand.shape[-2])
+    m = xp.maximum(count, 1)[..., None]
     nxt = (idx + 1) % m  # circular over the valid prefix
-    nxt_pts = jnp.take_along_axis(sorted_pts, nxt[..., None], axis=-2)
+    nxt_pts = xp.take_along_axis(sorted_pts, nxt[..., None], axis=-2)
     contrib = (sorted_pts[..., 0] * nxt_pts[..., 1]
                - nxt_pts[..., 0] * sorted_pts[..., 1])
-    contrib = jnp.where(idx < count[..., None], contrib, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(contrib, axis=-1))
-    return jnp.where(count >= 3, area, 0.0)
+    contrib = xp.where(idx < count[..., None], contrib, 0.0)
+    area = 0.5 * xp.abs(xp.sum(contrib, axis=-1))
+    return xp.where(count >= 3, area, 0.0)
 
 
-def rotated_iou_corners(corners1, corners2):
+def rotated_iou_corners(corners1, corners2, xp=jnp):
     """Rotated-BEV IoU matrix from corner boxes.
 
     corners1: (N, 4, 2), corners2: (M, 4, 2) -> (N, M).
     Matches shapely polygon IoU (ref common_utils.py:196 compute_iou).
     """
-    c1 = jnp.asarray(corners1)[:, None]  # (N, 1, 4, 2)
-    c2 = jnp.asarray(corners2)[None, :]  # (1, M, 4, 2)
+    c1 = xp.asarray(corners1)[:, None]  # (N, 1, 4, 2)
+    c2 = xp.asarray(corners2)[None, :]  # (1, M, 4, 2)
     n, m = c1.shape[0], c2.shape[1]
-    c1b = jnp.broadcast_to(c1, (n, m, 4, 2))
-    c2b = jnp.broadcast_to(c2, (n, m, 4, 2))
-    inter = quad_intersection_area(c1b, c2b)
-    a1 = polygon_area(jnp.asarray(corners1))[:, None]
-    a2 = polygon_area(jnp.asarray(corners2))[None, :]
+    c1b = xp.broadcast_to(c1, (n, m, 4, 2))
+    c2b = xp.broadcast_to(c2, (n, m, 4, 2))
+    inter = quad_intersection_area(c1b, c2b, xp=xp)
+    a1 = polygon_area(xp.asarray(corners1), xp=xp)[:, None]
+    a2 = polygon_area(xp.asarray(corners2), xp=xp)[None, :]
     union = a1 + a2 - inter
-    return jnp.where(union > 1e-9, inter / union, 0.0)
+    return xp.where(union > 1e-9, inter / union, 0.0)
 
 
 def rotated_iou_aligned(corners1, corners2):

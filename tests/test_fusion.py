@@ -91,3 +91,50 @@ def test_adaptive_avg_pool_matches_torch(rng):
     want = torch.nn.functional.adaptive_avg_pool2d(
         torch.from_numpy(x.transpose(0, 3, 1, 2)), (5, 7)).numpy()
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=1e-5)
+
+
+V2XVIT_ARGS = {
+    "v2xvit": {
+        "transformer": {
+            "encoder": {
+                "num_blocks": 1, "depth": 2, "use_roi_mask": True,
+                "use_RTE": False, "RTE_ratio": 0,
+                "cav_att_config": {"dim": 8, "use_hetero": True,
+                                   "heads": 2, "dim_head": 4,
+                                   "dropout": 0.0},
+                "pwindow_att_config": {"dim": 8, "heads": [2, 2, 2],
+                                       "dim_head": [4, 4, 4],
+                                       "dropout": 0.0,
+                                       "window_size": [2, 4, 8],
+                                       "relative_pos_embedding": True,
+                                       "fusion_method": "split_attn"},
+                "feed_forward": {"mlp_dim": 16, "dropout": 0.0},
+                "sttf": {"voxel_size": [0.4, 0.4, 4],
+                         "downsample_rate": 4},
+            },
+        },
+    },
+}
+
+
+def test_v2xvit_forward_and_masking(rng):
+    feats, aff, mask = _inputs(rng)  # 16x16 maps, window 8 divides, 2/4 too
+    module = build_fusion("v2xvit", V2XVIT_ARGS, 8)
+    variables = module.init(jax.random.PRNGKey(0), feats, aff, mask)
+    out = module.apply(variables, feats, aff, mask)
+    assert out.shape == (2, 16, 16, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # masked-agent invariance
+    poisoned = feats.at[:, 2].set(1e3)
+    out2 = module.apply(variables, poisoned, aff, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+def test_v2xvit_nondivisible_window(rng):
+    """Window sizes that don't divide H/W must pad+mask, not crash."""
+    feats, aff, mask = _inputs(rng, h=10, w=14)
+    module = build_fusion("v2xvit", V2XVIT_ARGS, 8)
+    variables = module.init(jax.random.PRNGKey(0), feats, aff, mask)
+    out = module.apply(variables, feats, aff, mask)
+    assert out.shape == (2, 10, 14, 8)
+    assert np.all(np.isfinite(np.asarray(out)))

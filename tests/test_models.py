@@ -113,3 +113,18 @@ def test_fusion_invariance_duplicate_agent(rng):
     out_solo = model.apply(variables, batch_solo, train=False)
     np.testing.assert_allclose(np.asarray(out_dup["cls_preds"]),
                                np.asarray(out_solo["cls_preds"]), atol=1e-4)
+
+
+def test_where2comm_forward(rng):
+    args = _model_args("att")
+    args["where2comm"] = {"agg_operator": {"mode": "ATTEN"},
+                          "communication": {"thre": 0.01}}
+    model = build_model({"core_method": "point_pillar_where2comm",
+                         "args": args})
+    batch = _make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert out["cls_preds"].shape == (2, 16, 16, 2)
+    assert out["cls_preds_single"].shape == (6, 16, 16, 2)
+    assert np.isfinite(float(out["comm_rate"]))
+    assert 0.0 <= float(out["comm_rate"]) <= 1.0
