@@ -124,3 +124,83 @@ class IntermediateFusionBatcher:
             if drop_last and len(chunk) < batch_size:
                 return
             yield self.assemble([dataset[i] for i in chunk])
+
+
+class EarlyFusionBatcher(IntermediateFusionBatcher):
+    """Early ("2-round") fusion: every agent's raw point cloud is projected
+    into the ego frame and stacked into ONE virtual agent, then the
+    single-agent model runs on the merged cloud
+    (ref early_fusion_dataset.py:40-140).
+
+    Points are projected with the NOISY poses (that is the whole point of
+    the robustness benchmark); gt comes from clean poses as usual.
+    """
+
+    def assemble(self, frames: list) -> dict:
+        inter = super().assemble(frames)
+        b, l, n, _ = inter["points"].shape
+        points = inter["points"].reshape(b, l * n, 4).copy()
+        mask = inter["point_mask"].reshape(b, l * n).copy()
+
+        # T_ego<-cav from noisy poses = pairwise_t_matrix[cav, 0]
+        # (pairwise[i, j] = T_j<-i, transforms.get_pairwise_transformation)
+        for bi in range(b):
+            for ai in range(1, l):
+                if not inter["agent_mask"][bi, ai]:
+                    continue
+                t = inter["pairwise_t_matrix"][bi, ai, 0]
+                seg = slice(ai * n, (ai + 1) * n)
+                xyz1 = np.concatenate(
+                    [points[bi, seg, :3], np.ones((n, 1), np.float32)], -1)
+                points[bi, seg, :3] = (xyz1 @ t.T)[:, :3]
+        # re-mask to ego range after projection
+        r = self.lidar_range
+        inr = ((points[..., 0] >= r[0]) & (points[..., 0] < r[3])
+               & (points[..., 1] >= r[1]) & (points[..., 1] < r[4]))
+        mask &= inr
+
+        # repack into (B, 1, L*N, 4) — one merged virtual agent
+        out = {
+            "points": points[:, None],
+            "point_mask": mask[:, None],
+            "agent_mask": np.ones((b, 1), dtype=bool),
+            "pairwise_t_matrix": np.tile(
+                np.eye(4, dtype=np.float32), (b, 1, 1, 1, 1)),
+            "lidar_pose": inter["lidar_pose"][:, :1],
+            "lidar_pose_clean": inter["lidar_pose_clean"][:, :1],
+            "gt_boxes": inter["gt_boxes"],
+            "gt_mask": inter["gt_mask"],
+            "transformation_matrix": inter["transformation_matrix"],
+        }
+        return out
+
+
+class LateFusionBatcher(IntermediateFusionBatcher):
+    """Late fusion: each agent is an independent single-agent detection
+    problem (ref late_fusion_dataset.py).
+
+    Train: one random cav per frame, own frame, own-frame gt (ref :52-69).
+    Test (``assemble``): all cavs kept with per-agent ``transformation_matrix``
+    T_ego<-cav so per-agent boxes are projected to ego before joint NMS
+    (ref :72-128); gt stays ego-frame fused.
+    """
+
+    def assemble_train(self, frames: list) -> dict:
+        picked = []
+        for frame in frames:
+            agents = frame["agents"]
+            ai = int(self.rng.integers(0, len(agents)))
+            ag = agents[ai]
+            # rebase: the chosen cav becomes ego of a single-agent frame
+            picked.append({"agents": [ag], "objects": frame["objects"]})
+        return super().assemble(picked)
+
+    def assemble(self, frames: list) -> dict:
+        inter = super().assemble(frames)
+        b, l = inter["agent_mask"].shape
+        # T_ego<-cav per agent from NOISY poses (what late fusion has at
+        # test time); identity for ego / padded slots.
+        # pairwise[i, j] = T_j<-i, so ego<-cav is [:, cav, 0].
+        t = inter["pairwise_t_matrix"][:, :, 0]  # (B, L, 4, 4)
+        inter["transformation_matrix"] = t.astype(np.float32)
+        return inter

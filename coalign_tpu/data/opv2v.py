@@ -1,0 +1,207 @@
+"""OPV2V / V2XSet on-disk dataset readers.
+
+TPU-first rework of ref opencood/data_utils/datasets/basedataset/
+opv2v_basedataset.py: the directory scan and per-frame file IO are kept
+host-side (this is pure IO), but instead of the reference's OrderedDict-of-
+cav-dicts the reader emits the canonical *frame contract* shared with
+data/synthetic.py — a list of agents (ego first) plus world-frame objects —
+so batching/voxelization/label-gen all happen downstream in fixed-shape
+device code.
+
+On-disk layout (ref opv2v_basedataset.py:76-165):
+  root/scenario_xx/cav_id/{timestamp}.yaml|.pcd|_cameraN.png
+RSU ids are negative and are never ego; ego = first cav in sorted order.
+Per-timestamp yaml keys used: ``lidar_pose`` (6-DoF [x,y,z,roll,yaw,pitch]
+degrees), ``vehicles: {id: {location, center, angle, extent(half l,w,h)}}``,
+``cameraN: {extrinsic, intrinsic}``.
+
+Frame contract:
+  {"agents": [{"pose": (6,), "points": (P,4), "cav_id": str,
+               "visible_ids": (Vi,) int, ["cameras": {...}]}],
+   "objects": {"boxes": (O,7) world hwl, "ids": (O,) int}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import yaml
+
+from coalign_tpu.data.pcd_io import read_pcd
+from coalign_tpu.utils import box_utils as B
+from coalign_tpu.utils.transforms import pose_to_tfm
+
+
+def _load_params(path: str) -> dict:
+    """yaml params with the json fast path (ref opv2v_basedataset.py:202)."""
+    json_path = path[:-5] + ".json"
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            return json.load(f)
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def vehicles_to_world_boxes(vehicles: dict):
+    """OPV2V per-yaml ``vehicles`` dict -> world-frame hwl boxes + ids.
+
+    Mirrors ref box_utils.project_world_objects:451 geometry: object pose =
+    location + center offset, corners from half-extent [l/2, w/2, h/2]
+    rotated by the full (roll, yaw, pitch) object pose; corner_to_center
+    flattens to a yaw-only 7-dof box (OPV2V objects are level, so the
+    flattening is exact in practice).
+    """
+    if not vehicles:
+        return (np.zeros((0, 7), dtype=np.float32),
+                np.zeros((0,), dtype=np.int64))
+    ids, poses, extents = [], [], []
+    for vid, v in vehicles.items():
+        loc = np.asarray(v["location"], dtype=np.float64)
+        center = np.asarray(v.get("center", [0, 0, 0]), dtype=np.float64)
+        ang = np.asarray(v["angle"], dtype=np.float64)  # [roll, yaw, pitch]
+        ids.append(int(vid))
+        poses.append(np.array([loc[0] + center[0], loc[1] + center[1],
+                               loc[2] + center[2], ang[0], ang[1], ang[2]]))
+        extents.append(np.asarray(v["extent"], dtype=np.float64))
+    poses = np.stack(poses)          # (O, 6)
+    extents = np.stack(extents)      # (O, 3) half l, w, h
+
+    # unit corners scaled by half-extent, same vertex order as the
+    # reference's create_bbx (box_utils.py:414)
+    unit = np.array([[1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
+                     [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1]],
+                    dtype=np.float64)
+    corners_obj = unit[None] * extents[:, None, :]              # (O, 8, 3)
+    t_wo = np.asarray(pose_to_tfm(poses))                       # (O, 4, 4)
+    corners_w = (corners_obj @ t_wo[:, :3, :3].transpose(0, 2, 1)
+                 + t_wo[:, None, :3, 3])
+    boxes_w = np.asarray(B.corner_to_center(corners_w, "hwl"),
+                         dtype=np.float32)
+    return boxes_w, np.asarray(ids, dtype=np.int64)
+
+
+class OPV2VBaseDataset:
+    """Scans an OPV2V-layout root and serves canonical frames by index."""
+
+    label_key = "vehicles"
+
+    def __init__(self, root_dir: str, train: bool = True, max_cav: int = 5,
+                 load_lidar: bool = True, load_camera: bool = False,
+                 shuffle_cavs: bool = False, seed: int = 303):
+        self.root_dir = root_dir
+        self.train = train
+        self.max_cav = max_cav
+        self.load_lidar = load_lidar
+        self.load_camera = load_camera
+        self.shuffle_cavs = shuffle_cavs and train
+        self.rng = np.random.default_rng(seed)
+        self.scenario_folders = sorted(
+            os.path.join(root_dir, x) for x in os.listdir(root_dir)
+            if os.path.isdir(os.path.join(root_dir, x)))
+        if not self.scenario_folders:
+            raise FileNotFoundError(f"no scenario folders under {root_dir}")
+        self.reinitialize()
+
+    def reinitialize(self):
+        """(Re)build the scenario database; called per epoch by the train
+        loop to reshuffle CAV ordering like ref train.py:171."""
+        self.scenarios = []     # list of (cav_list, {cav: {ts: paths}})
+        self.len_record = []
+        total = 0
+        for folder in self.scenario_folders:
+            cav_list = sorted(x for x in os.listdir(folder)
+                              if os.path.isdir(os.path.join(folder, x)))
+            assert cav_list, folder
+            if self.shuffle_cavs:
+                self.rng.shuffle(cav_list)
+            # RSUs (negative ids) can never be ego (ref :99-103)
+            if int(cav_list[0]) < 0:
+                cav_list = cav_list[1:] + [cav_list[0]]
+            cav_list = cav_list[:self.max_cav]
+
+            db = {}
+            timestamps = None
+            for cav_id in cav_list:
+                cav_path = os.path.join(folder, cav_id)
+                ts = sorted(x[:-5] for x in os.listdir(cav_path)
+                            if x.endswith(".yaml")
+                            and "additional" not in x
+                            and "_" not in x)
+                db[cav_id] = cav_path
+                if timestamps is None:
+                    timestamps = ts
+            self.scenarios.append((cav_list, db, timestamps))
+            total += len(timestamps)
+            self.len_record.append(total)
+
+    def __len__(self):
+        return self.len_record[-1]
+
+    def _locate(self, idx):
+        prev = 0
+        for si, upto in enumerate(self.len_record):
+            if idx < upto:
+                return si, idx - prev
+            prev = upto
+        raise IndexError(idx)
+
+    def _camera_params(self, params: dict):
+        cams = {}
+        for i in range(4):
+            key = f"camera{i}"
+            if key in params:
+                cams[key] = {
+                    "extrinsic": np.asarray(params[key]["extrinsic"],
+                                            dtype=np.float32),
+                    "intrinsic": np.asarray(params[key]["intrinsic"],
+                                            dtype=np.float32),
+                    "cords": np.asarray(params[key].get("cords", [0] * 6),
+                                        dtype=np.float32),
+                }
+        return cams
+
+    def __getitem__(self, idx):
+        si, ti = self._locate(idx)
+        cav_list, db, timestamps = self.scenarios[si]
+        ts = timestamps[ti]
+
+        agents = []
+        all_boxes, all_ids = [], []
+        seen = set()
+        for cav_id in cav_list:
+            cav_path = db[cav_id]
+            params = _load_params(os.path.join(cav_path, ts + ".yaml"))
+            pose = np.asarray(params["lidar_pose"], dtype=np.float32)
+            boxes, ids = vehicles_to_world_boxes(
+                params.get(self.label_key, {}))
+            agent = {"pose": pose, "cav_id": cav_id, "visible_ids": ids}
+            if self.load_lidar:
+                agent["points"] = read_pcd(
+                    os.path.join(cav_path, ts + ".pcd"))
+            if self.load_camera:
+                agent["cameras"] = self._camera_params(params)
+                agent["camera_files"] = [
+                    os.path.join(cav_path, f"{ts}_camera{i}.png")
+                    for i in range(4)]
+            agents.append(agent)
+            # fused gt = union over agents, dedup by id, ego first wins
+            # (ref intermediate_fusion_dataset.py:390-400)
+            for b, oid in zip(boxes, ids):
+                if int(oid) not in seen:
+                    seen.add(int(oid))
+                    all_boxes.append(b)
+                    all_ids.append(int(oid))
+
+        objects = {
+            "boxes": (np.stack(all_boxes).astype(np.float32)
+                      if all_boxes else np.zeros((0, 7), np.float32)),
+            "ids": np.asarray(all_ids, dtype=np.int64),
+        }
+        return {"agents": agents, "objects": objects,
+                "scenario": si, "timestamp": ts}
+
+
+class V2XSETBaseDataset(OPV2VBaseDataset):
+    """V2XSet uses the OPV2V layout verbatim (ref v2xset_basedataset.py)."""
