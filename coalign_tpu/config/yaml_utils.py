@@ -65,7 +65,11 @@ def _to_plain(obj):
 
 
 def _fill_anchor_grid_args(param: dict) -> dict:
-    """Shared W/H/D + voxel-size bookkeeping (ref yaml_utils.py:117-137)."""
+    """Shared W/H/D + voxel-size bookkeeping (ref yaml_utils.py:117-137).
+    No-op for anchor-free configs (PIXOR's BevPostprocessor)."""
+    if ("voxel_size" not in param["preprocess"].get("args", {})
+            or "anchor_args" not in param["postprocess"]):
+        return param
     cav_lidar_range = param["preprocess"]["cav_lidar_range"]
     voxel_size = param["preprocess"]["args"]["voxel_size"]
     anchor_args = param["postprocess"]["anchor_args"]

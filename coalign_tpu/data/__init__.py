@@ -12,7 +12,8 @@ def build_dataset(params: dict, train: bool = True):
     frames; the batcher assembles padded fixed-shape device batches.
     """
     fusion = params["fusion"]["core_method"].lower()
-    name = params.get("dataset", "opv2v").lower()
+    name = params["fusion"].get("dataset",
+                                params.get("dataset", "opv2v")).lower()
 
     root = params["root_dir"] if train else params.get(
         "validate_dir", params["root_dir"])
@@ -43,6 +44,15 @@ def build_dataset(params: dict, train: bool = True):
         pos_std=args.get("pos_std", 0.0),
         rot_std=args.get("rot_std", 0.0),
     )
+    if "camera" in params.get("input_source", ["lidar"]):
+        from coalign_tpu.data.camera_batch import CameraBatcher
+        if hasattr(base, "load_camera"):
+            base.load_camera = True
+        final_dim = params["model"]["args"]["data_aug_conf"]["final_dim"]
+        return base, CameraBatcher(
+            max_cav=kw["max_cav"], final_dim=final_dim,
+            lidar_range=kw["lidar_range"], comm_range=kw["comm_range"],
+            pos_std=kw["pos_std"], rot_std=kw["rot_std"])
     batchers = {
         "intermediate": IntermediateFusionBatcher,
         "early": EarlyFusionBatcher,

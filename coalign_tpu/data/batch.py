@@ -136,8 +136,9 @@ class EarlyFusionBatcher(IntermediateFusionBatcher):
     the robustness benchmark); gt comes from clean poses as usual.
     """
 
-    def assemble(self, frames: list) -> dict:
-        inter = super().assemble(frames)
+    def _merge_points(self, inter: dict):
+        """Project every agent's cloud into the ego frame with the NOISY
+        pairwise transforms and flatten agents -> (B, 1, L*N, 4)."""
         b, l, n, _ = inter["points"].shape
         points = inter["points"].reshape(b, l * n, 4).copy()
         mask = inter["point_mask"].reshape(b, l * n).copy()
@@ -174,6 +175,24 @@ class EarlyFusionBatcher(IntermediateFusionBatcher):
         }
         return out
 
+    def assemble(self, frames: list) -> dict:
+        return self._merge_points(super().assemble(frames))
+
+
+class KDFusionBatcher(EarlyFusionBatcher):
+    """Knowledge-distillation batches: per-agent points for the student plus
+    the merged ego-frame cloud (``teacher_points``) for the frozen
+    early-fusion teacher (ref intermediate_fusion_dataset's
+    ``teacher_processed_lidar`` + tools/train_w_kd.py:32-112). Both views
+    share ONE noise realization (same pairwise transforms)."""
+
+    def assemble(self, frames: list) -> dict:
+        inter = IntermediateFusionBatcher.assemble(self, frames)
+        early = self._merge_points(inter)
+        inter["teacher_points"] = early["points"]
+        inter["teacher_point_mask"] = early["point_mask"]
+        return inter
+
 
 class LateFusionBatcher(IntermediateFusionBatcher):
     """Late fusion: each agent is an independent single-agent detection
@@ -193,7 +212,14 @@ class LateFusionBatcher(IntermediateFusionBatcher):
             ag = agents[ai]
             # rebase: the chosen cav becomes ego of a single-agent frame
             picked.append({"agents": [ag], "objects": frame["objects"]})
-        return super().assemble(picked)
+        out = super().assemble(picked)
+        # single-agent training batch: drop the padded agent slots so the
+        # model emits exactly one prediction map per sample
+        for key in ("points", "point_mask", "agent_mask", "lidar_pose",
+                    "lidar_pose_clean"):
+            out[key] = out[key][:, :1]
+        out["pairwise_t_matrix"] = out["pairwise_t_matrix"][:, :1, :1]
+        return out
 
     def assemble(self, frames: list) -> dict:
         inter = super().assemble(frames)

@@ -21,7 +21,8 @@ from coalign_tpu.utils.transforms import pose_to_tfm
 
 
 def write_opv2v_fixture(root: str, scenes, frames_per_scenario: int = 4,
-                        rsu_last: bool = False):
+                        rsu_last: bool = False, with_cameras: bool = False,
+                        cam_hw=(120, 160)):
     """Materialize ``scenes`` (SyntheticScenes or list of frames) under
     ``root`` in OPV2V on-disk layout. Returns the root path.
 
@@ -63,6 +64,25 @@ def write_opv2v_fixture(root: str, scenes, frames_per_scenario: int = 4,
                     "ego_speed": 0.0,
                     "vehicles": vehicles,
                 }
+                if with_cameras:
+                    from PIL import Image
+                    h, w = cam_hw
+                    for ci in range(4):
+                        # 4 cameras at lidar pose, yawed 90 deg apart
+                        cords = [float(v) for v in agent["pose"]]
+                        cords[4] = float(cords[4] + 90.0 * ci)
+                        params[f"camera{ci}"] = {
+                            "cords": cords,
+                            "intrinsic": [[w, 0.0, (w - 1) / 2],
+                                          [0.0, w, (h - 1) / 2],
+                                          [0.0, 0.0, 1.0]],
+                            "extrinsic": np.eye(4).tolist(),
+                        }
+                        rng = np.random.default_rng(idx * 31 + ai * 7 + ci)
+                        img = rng.integers(
+                            0, 255, (h, w, 3), dtype=np.uint8)
+                        Image.fromarray(img).save(os.path.join(
+                            cav_dir, f"{ts}_camera{ci}.png"))
                 with open(os.path.join(cav_dir, ts + ".yaml"), "w") as f:
                     yaml.safe_dump(params, f)
                 write_pcd(os.path.join(cav_dir, ts + ".pcd"),

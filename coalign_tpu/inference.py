@@ -52,10 +52,91 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
     return infer
 
 
+def make_late_infer_fn(model, anchors, postprocess_cfg: dict,
+                       mode: str = "late"):
+    """Late / no-fusion inference: the single-agent model runs once per
+    agent, per-agent boxes are projected to ego via ``transformation_matrix``
+    and joint NMS merges them (ref inference_utils.py:17
+    inference_late_fusion / :97 inference_no_fusion).
+
+    mode: 'late' (all agents) | 'no' (ego only) | 'no_w_uncertainty'.
+    """
+    from coalign_tpu.utils.nms import nms_rotated
+
+    score_thr = float(postprocess_cfg["target_args"]["score_threshold"])
+    nms_thr = float(postprocess_cfg["nms_thresh"])
+    gt_range = tuple(postprocess_cfg["gt_range"])
+    dir_args = postprocess_cfg.get("dir_args", {})
+    dir_offset = float(dir_args.get("dir_offset", 0.7853))
+    num_bins = int(dir_args.get("num_bins", 2))
+    anchors = jnp.asarray(anchors)
+    ego_only = mode.startswith("no")
+
+    @jax.jit
+    def infer(variables, batch):
+        b, l = batch["agent_mask"].shape
+        out = model.apply(variables, batch, train=False)
+
+        def per_frame(cls_p, reg_p, dir_p, unc_p, tfm):
+            return post_process_frame(
+                cls_p, reg_p, anchors, tfm, dir_preds=dir_p, unc_preds=unc_p,
+                score_threshold=score_thr, nms_threshold=nms_thr,
+                gt_range=gt_range, dir_offset=dir_offset, num_bins=num_bins)
+
+        dir_preds = out.get("dir_preds")
+        if dir_preds is None:
+            dir_preds = jnp.zeros(out["cls_preds"].shape[:-1]
+                                  + (out["cls_preds"].shape[-1] * num_bins,))
+        unc_preds = out.get("unc_preds")
+        if unc_preds is None or "uncertainty" not in mode:
+            unc_preds = jnp.zeros(out["cls_preds"].shape[:-1]
+                                  + (out["cls_preds"].shape[-1] * 3,))
+        tfm = batch["transformation_matrix"]
+        if tfm.ndim == 3:  # (B, 4, 4) -> broadcast over agents
+            tfm = jnp.broadcast_to(tfm[:, None], (b, l, 4, 4))
+        dets = jax.vmap(per_frame)(
+            out["cls_preds"], out["reg_preds"], dir_preds, unc_preds,
+            tfm.reshape(b * l, 4, 4))
+        # regroup agents: (B, L*K, ...) then joint NMS in ego frame
+        k = dets["scores"].shape[-1]
+
+        def regroup(x):
+            return x.reshape((b, l * k) + x.shape[2:])
+
+        valid = dets["mask"] & batch["agent_mask"].reshape(b * l)[:, None]
+        if ego_only:
+            ego = (jnp.arange(b * l) % l == 0)[:, None]
+            valid = valid & ego
+        corners = regroup(dets["corners3d"])
+        scores = regroup(jnp.where(valid, dets["scores"], 0.0))
+        vmask = regroup(valid)
+
+        def joint(cor, sc, vm):
+            order, keep = nms_rotated(cor[:, :4, :2], sc, vm, nms_thr)
+            return {"corners3d": cor[order] * keep[:, None, None],
+                    "scores": jnp.where(keep, sc[order], 0.0),
+                    "mask": keep}
+
+        return jax.vmap(joint)(corners, scores, vmask)
+
+    return infer
+
+
 def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
-             batch_size: int = 1, max_frames: int | None = None):
-    """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts)."""
-    infer = make_infer_fn(model, anchors, postprocess_cfg)
+             batch_size: int = 1, max_frames: int | None = None,
+             fusion_method: str = "intermediate"):
+    """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts).
+
+    fusion_method dispatch mirrors ref tools/inference.py:40-227:
+    'intermediate' / 'early' decode the fused output; 'late', 'no',
+    'no_w_uncertainty' run per-agent + joint NMS.
+    """
+    if fusion_method in ("late", "no", "no_w_uncertainty", "single"):
+        infer = make_late_infer_fn(
+            model, anchors, postprocess_cfg,
+            "no" if fusion_method == "single" else fusion_method)
+    else:
+        infer = make_infer_fn(model, anchors, postprocess_cfg)
     stat = E.new_result_stat()
     frames = 0
     for batch in batcher.batches(dataset, batch_size, shuffle=False,

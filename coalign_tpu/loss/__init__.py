@@ -17,4 +17,19 @@ def build_loss(cfg: dict):
     if name in ("point_pillar_uncertainty_loss", "point_pillar_unc_loss"):
         from coalign_tpu.loss.uncertainty_loss import build_uncertainty_loss
         return build_uncertainty_loss(args)
+    if name in ("point_pillar_disconet_loss", "disconet_loss"):
+        from coalign_tpu.loss.disconet_loss import build_disconet_loss
+        return build_disconet_loss(args)
+    if name in ("point_pillar_v2v_robust_loss", "robust_loss"):
+        from coalign_tpu.loss.robust_loss import build_robust_loss
+        return build_robust_loss(args)
+    if name in ("point_pillar_mash_loss", "mash_loss"):
+        from coalign_tpu.loss.robust_loss import build_mash_loss
+        return build_mash_loss(args)
+    if name in ("fpvrcnn_loss", "ciassd_loss"):
+        from coalign_tpu.loss.fpvrcnn_loss import build_fpvrcnn_loss
+        return build_fpvrcnn_loss(args)
+    if name == "pixor_loss":
+        from coalign_tpu.loss.pixor_loss import build_pixor_loss
+        return build_pixor_loss(args)
     raise KeyError(f"unknown loss {name!r}")

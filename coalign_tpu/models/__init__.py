@@ -16,7 +16,8 @@ def register_model(name: str):
 def build_model(config: dict):
     """Build a model from the yaml ``model`` subtree (core_method + args)."""
     # import here so registration side effects run
-    from coalign_tpu.models import zoo  # noqa: F401
+    from coalign_tpu.models import (camera, fpvrcnn, pixor,  # noqa: F401
+                                    second_family, zoo)
 
     name = config["core_method"]
     if name not in _REGISTRY:

@@ -1,0 +1,209 @@
+"""Lift-Splat-Shoot camera BEV models (single-agent + collaborative).
+
+TPU-first rework of ref opencood/models/lift_splat_shoot.py:16 /
+lift_splat_shoot_intermediate.py:18 and opencood/models/sub_modules/
+lss_submodule.py: the camera encoder is a from-scratch ResNet trunk (the
+reference's pretrained EfficientNet-b0 / ResNet-101 weights are torch hub
+artifacts; encoder choice is a config knob, capacity-matched) producing a
+per-pixel depth distribution x context features; lift/splat run through
+ops/lss.py; the BEV encoder mirrors BevEncode with single-scale (SS) or
+multi-scale (MS) warp+fusion variants returning (x_single, x_fuse)
+(ref lss_submodule.py:286/:357-418).
+
+Camera batch contract (``image_inputs`` subtree, Appendix A of SURVEY.md):
+  imgs       (B, L, N, H, W, 3)  normalized images
+  rots       (B, L, N, 3, 3)     camera->lidar rotation
+  trans      (B, L, N, 3)        camera->lidar translation
+  intrins    (B, L, N, 3, 3)
+  post_rots  (B, L, N, 3, 3)     image-space aug transform
+  post_trans (B, L, N, 3)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.models import register_model
+from coalign_tpu.models.fuse.fusion import build_fusion
+from coalign_tpu.models.heads import DetectionHeads
+from coalign_tpu.models.layers import BasicBlock, ConvBNReLU
+from coalign_tpu.ops.lss import LSSSpec, get_geometry, voxel_pool
+from coalign_tpu.utils.transforms import normalize_pairwise_tfm
+
+
+class CamEncoder(nn.Module):
+    """Image -> (depth distribution, context) at 1/8 resolution
+    (ref lss_submodule.py:41 CamEncode)."""
+
+    depth_bins: int
+    cam_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # stem /2
+        x = ConvBNReLU(32, 3, 2, 1)(x, train=train)
+        x = ConvBNReLU(32, 3, 1, 1)(x, train=train)
+        # stage /4
+        x = BasicBlock(48, 2)(x, train=train)
+        x = BasicBlock(48, 1)(x, train=train)
+        # stage /8
+        x = BasicBlock(96, 2)(x, train=train)
+        x = BasicBlock(96, 1)(x, train=train)
+        x = BasicBlock(128, 1)(x, train=train)
+        head = nn.Conv(self.depth_bins + self.cam_channels, (1, 1))(x)
+        depth_logits = head[..., :self.depth_bins]
+        context = head[..., self.depth_bins:]
+        depth = jax.nn.softmax(depth_logits, axis=-1)
+        # outer product: (fH, fW, D) x (fH, fW, C) -> (D, fH, fW, C)
+        feats = (depth[..., None] * context[..., None, :])
+        feats = jnp.moveaxis(feats, -2, -4)
+        return feats, depth_logits
+
+
+class BevEncode(nn.Module):
+    """BEV feature encoder with optional per-scale fusion
+    (ref lss_submodule.py BevEncode:247 / BevEncodeMSFusion:357).
+
+    fuse_mode: None (single agent) | 'ss' (fuse the decoded map once) |
+    'ms' (fuse each encoder scale, decode fused; the single path reuses the
+    SAME decode weights, like the reference's shared up-blocks)."""
+
+    args: Dict[str, Any]
+    fuse_mode: str | None = None
+
+    @nn.compact
+    def __call__(self, x, affine=None, agent_mask=None,
+                 train: bool = False):
+        out_ch = self.args.get("bev_out_channels", 128)
+        method = self.args.get("fusion_args", {}).get("core_method", "att")
+        method = "max" if "max" in method else "att"
+
+        def fuse(feat):
+            b, l = agent_mask.shape
+            h, w, c = feat.shape[1:]
+            net = build_fusion(method, self.args, c)
+            return net(feat.reshape(b, l, h, w, c), affine, agent_mask,
+                       train=train)
+
+        stem = ConvBNReLU(64, 7, 2, 3)
+        blk1a, blk1b = BasicBlock(64, 1), BasicBlock(64, 1)
+        blk2a, blk2b = BasicBlock(128, 2), BasicBlock(128, 1)
+        dec1 = ConvBNReLU(out_ch, 3, 1, 1)
+        dec2 = ConvBNReLU(out_ch, 3, 1, 1)
+        proj = nn.Conv(out_ch, (1, 1))
+
+        def encode(y):
+            y = stem(y, train=train)                    # /2
+            y1 = blk1b(blk1a(y, train=train), train=train)
+            y2 = blk2b(blk2a(y1, train=train), train=train)  # /4
+            return y1, y2
+
+        def decode(a, b_):
+            up = jax.image.resize(b_, (b_.shape[0],) + a.shape[1:3]
+                                  + (b_.shape[-1],), "bilinear")
+            y = dec1(jnp.concatenate([up, a], axis=-1), train=train)
+            y = jax.image.resize(y, (y.shape[0], y.shape[1] * 2,
+                                     y.shape[2] * 2, y.shape[3]), "bilinear")
+            return proj(dec2(y, train=train))
+
+        x1, x2 = encode(x)
+        if self.fuse_mode == "ms":
+            fused_out = decode(fuse(x1), fuse(x2))
+            single_out = decode(x1, x2)
+            return single_out, fused_out
+        out = decode(x1, x2)
+        if self.fuse_mode == "ss":
+            return out, fuse(out)
+        return out
+
+
+class _LSSBase(nn.Module):
+    args: Dict[str, Any]
+
+    @classmethod
+    def from_config(cls, args: dict):
+        return cls(args=dict(args))
+
+    @property
+    def spec(self) -> LSSSpec:
+        return LSSSpec.from_config(self.args["grid_conf"],
+                                   self.args["data_aug_conf"],
+                                   self.args.get("img_downsample", 8))
+
+    def _make_heads(self):
+        return DetectionHeads(
+            anchor_number=self.args["anchor_number"],
+            use_dir="dir_args" in self.args,
+            num_bins=self.args.get("dir_args", {}).get("num_bins", 2),
+        )
+
+    def _lift_splat(self, image_inputs, train):
+        """(F=B*L agent frames) x N cams -> (F, ny, nx, nz*C) BEV."""
+        spec = self.spec
+        imgs = image_inputs["imgs"]
+        lead = imgs.shape[:-3]  # (B, L, N) or (F, N)
+        f = int(np.prod(lead[:-1]))
+        n = lead[-1]
+        imgs = imgs.reshape((f * n,) + imgs.shape[-3:])
+        cam_c = self.args.get("img_features", 64)
+        feats, depth_logits = CamEncoder(
+            depth_bins=spec.depth_bins, cam_channels=cam_c)(imgs,
+                                                            train=train)
+        d, fh, fw, c = feats.shape[1:]
+        feats = feats.reshape(f, n, d, fh, fw, c)
+
+        frustum = jnp.asarray(spec.frustum())
+        r = lambda a: a.reshape((f, n) + a.shape[len(lead):])
+        geom = jax.vmap(lambda ro, tr, k, pr, pt: get_geometry(
+            frustum, ro, tr, k, pr, pt))(
+            r(image_inputs["rots"]), r(image_inputs["trans"]),
+            r(image_inputs["intrins"]), r(image_inputs["post_rots"]),
+            r(image_inputs["post_trans"]))
+        bev = jax.vmap(lambda g, x: voxel_pool(g, x, spec))(geom, feats)
+        return bev, depth_logits.reshape(f, n, fh, fw, -1)
+
+
+@register_model("lift_splat_shoot")
+class LiftSplatShoot(_LSSBase):
+    """Single-agent camera detector (ref lift_splat_shoot.py:16)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        bev, depth_logits = self._lift_splat(batch["image_inputs"], train)
+        x = BevEncode(args=self.args)(bev, train=train)
+        out = self._make_heads()(x)
+        out["depth_logits"] = depth_logits
+        return out
+
+
+@register_model("lift_splat_shoot_intermediate")
+class LiftSplatShootIntermediate(_LSSBase):
+    """Collaborative camera detector with SS/MS BEV fusion
+    (ref lift_splat_shoot_intermediate.py:18-68)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        b, l = batch["agent_mask"].shape
+        spec = self.spec
+        bev, depth_logits = self._lift_splat(batch["image_inputs"], train)
+
+        ms = "ms" in self.args.get("fusion_args", {}).get(
+            "core_method", "att_ms")
+        # fused maps are at 1/2 the BEV grid res inside BevEncode
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], spec.ny, spec.nx, spec.xbound[2])
+        single_out, fused = BevEncode(
+            args=self.args, fuse_mode="ms" if ms else "ss")(
+            bev, affine=affine, agent_mask=batch["agent_mask"], train=train)
+
+        out = self._make_heads()(fused)
+        out["depth_logits"] = depth_logits
+        if self.args.get("supervise_single", False):
+            for k, v in self._make_heads()(single_out).items():
+                out[k + "_single"] = v
+        return out

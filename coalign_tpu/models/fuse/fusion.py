@@ -40,6 +40,16 @@ class MaxFusion(nn.Module):
                          out, 0.0)
 
 
+class MeanFusion(nn.Module):
+    """Masked average over warped agents (ref mean_fuse.py:20)."""
+
+    @nn.compact
+    def __call__(self, features, affines, agent_mask, train: bool = False):
+        warped = warp_agents_to_ego(features, affines[:, 0], agent_mask)
+        m = agent_mask[..., None, None, None].astype(features.dtype)
+        return (warped * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+
+
 class AttFusion(nn.Module):
     """Per-pixel cross-agent scaled-dot-product attention, ego query.
 
@@ -101,6 +111,7 @@ def _v2xvit(args, dim):
 
 _FUSIONS = {
     "max": lambda args, dim: MaxFusion(),
+    "mean": lambda args, dim: MeanFusion(),
     "att": lambda args, dim: AttFusion(dim),
     "disconet": _disconet,
     "v2vnet": _v2vnet,

@@ -1,0 +1,239 @@
+"""SECOND / CIA-SSD / VoxelNet model families on the dense voxel path.
+
+TPU-first rework of:
+  * opencood/models/second.py:14 (MeanVFE -> VoxelBackBone8x -> Height-
+    Compression -> BaseBEVBackbone -> heads)
+  * opencood/models/second_intermediate.py:15 (same + per-scale attentive
+    fusion, ref AttBEVBackbone)
+  * opencood/models/ciassd.py:11 / second_ssfa.py:16 (SSFA 2D trunk +
+    multi-branch head with IoU rescoring)
+  * opencood/models/second_ssfa_uncertainty.py:17 (+ log-variance head)
+  * opencood/models/voxel_net.py:177 (SVFE stacked VFE -> 3D conv middle
+    layers -> RPN) and voxel_net_intermediate.py:61
+
+All voxelization happens on device from padded raw points (ops/voxels.py);
+the sparse-conv backbone is a dense masked 3D-conv stack (models/
+voxel_backbone.py) — see that module's docstring for the design rationale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from coalign_tpu.models import register_model
+from coalign_tpu.models.backbones import BaseBEVBackbone
+from coalign_tpu.models.fuse.fusion import build_fusion
+from coalign_tpu.models.heads import DetectionHeads
+from coalign_tpu.models.layers import MaskedBatchNorm
+from coalign_tpu.models.voxel_backbone import (SSFA, VoxelBackbone8x,
+                                               height_compression)
+from coalign_tpu.ops.voxels import (VoxelSpec, mean_voxelize,
+                                    scatter_max_voxels_batched,
+                                    voxel_ids, voxel_max_broadcast_batched,
+                                    voxel_mean_batched)
+from coalign_tpu.utils.transforms import normalize_pairwise_tfm
+
+
+class _VoxelBase(nn.Module):
+    """Shared config plumbing for the dense-voxel model families."""
+
+    args: Dict[str, Any]
+
+    @classmethod
+    def from_config(cls, args: dict):
+        return cls(args=dict(args))
+
+    @property
+    def spec(self) -> VoxelSpec:
+        return VoxelSpec.from_config(self.args["lidar_range"],
+                                     self.args["voxel_size"])
+
+    def _make_heads(self, use_iou=False, use_unc=False):
+        return DetectionHeads(
+            anchor_number=self.args["anchor_number"],
+            use_dir="dir_args" in self.args,
+            num_bins=self.args.get("dir_args", {}).get("num_bins", 2),
+            use_iou=use_iou or self.args.get("use_iou_head", False),
+            use_unc=use_unc or "uncertainty_dim" in self.args,
+            unc_dim=self.args.get("uncertainty_dim", 3),
+        )
+
+    def _voxelize(self, batch):
+        """Padded points (B[, L], N, 4) -> dense (F, D, H, W, 4) mean grid."""
+        points, mask = batch["points"], batch["point_mask"]
+        if points.ndim == 4:
+            points = points.reshape((-1,) + points.shape[2:])
+            mask = mask.reshape((-1,) + mask.shape[2:])
+        grid, _ = jax.vmap(lambda p, m: mean_voxelize(p, m, self.spec))(
+            points, mask)
+        return grid
+
+    def _bev_features(self, batch, train):
+        """Voxelize -> 3D backbone -> height compression -> (F, H/8, W/8, C)."""
+        grid = self._voxelize(batch)
+        feats = VoxelBackbone8x(
+            out_features=self.args.get("backbone_3d", {}).get(
+                "num_features_out", 128))(grid, train=train)
+        return height_compression(feats["out"])
+
+
+@register_model("second")
+class Second(_VoxelBase):
+    """Single-agent SECOND (ref second.py:14-60)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = self._bev_features(batch, train)
+        x = BaseBEVBackbone.from_config(
+            self.args["base_bev_backbone"])(x, train=train)
+        return self._make_heads()(x)
+
+
+@register_model("second_intermediate")
+class SecondIntermediate(_VoxelBase):
+    """SECOND with per-scale attentive BEV fusion (ref
+    second_intermediate.py:15, AttBEVBackbone att_bev_backbone.py)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        b, l = batch["agent_mask"].shape
+        x = self._bev_features(batch, train)  # (B*L, H/8, W/8, C)
+        # the fused BEV grid is 8x downsampled; affine warp normalized to it
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], self.spec.ny // 8, self.spec.nx // 8,
+            self.args["voxel_size"][0] * 8)
+        backbone = BaseBEVBackbone.from_config(self.args["base_bev_backbone"])
+        scales = backbone.encode(x, train=train)
+        fused = []
+        for i, feat in enumerate(scales):
+            h, w, c = feat.shape[1:]
+            fusion = build_fusion(self.args.get("fusion_method", "att"),
+                                  self.args, c)
+            fused.append(fusion(feat.reshape(b, l, h, w, c), affine,
+                                batch["agent_mask"], train=train))
+        x = backbone.decode(tuple(fused), train=train)
+        return self._make_heads()(x)
+
+
+@register_model("ciassd")
+class CIASSD(_VoxelBase):
+    """Single-agent CIA-SSD: SSFA trunk + IoU-aware head
+    (ref ciassd.py:11-46)."""
+
+    use_unc: bool = False
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        x = self._bev_features(batch, train)
+        x = SSFA(feature_num=self.args.get("ssfa", {}).get(
+            "feature_num", 128))(x, train=train)
+        return self._make_heads(use_iou=True, use_unc=self.use_unc)(x)
+
+
+@register_model("second_ssfa")
+class SecondSSFA(CIASSD):
+    """Alias used by the SECOND+SSFA configs (ref second_ssfa.py:16)."""
+
+
+@register_model("second_ssfa_uncertainty")
+class SecondSSFAUncertainty(CIASSD):
+    """SECOND-SSFA stage-1 detector with log-variance output
+    (ref second_ssfa_uncertainty.py:17)."""
+
+    use_unc: bool = True
+
+    @classmethod
+    def from_config(cls, args: dict):
+        args = dict(args)
+        args.setdefault("uncertainty_dim", 3)
+        return cls(args=args)
+
+
+class VFELayer(nn.Module):
+    """VoxelNet VFE: pointwise Linear+BN+ReLU, concat per-voxel max
+    (ref voxel_net.py SVFE). Batched over frames via offset segment ids —
+    no vmap over flax modules needed."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, feats, ids, valid, num_voxels, train: bool = False):
+        half = self.out_features // 2
+        x = nn.Dense(half, use_bias=False)(feats)
+        x = MaskedBatchNorm()(x, train=train)
+        x = nn.relu(x) * valid[..., None]
+        agg = voxel_max_broadcast_batched(x, ids, valid, num_voxels)
+        return jnp.concatenate([x, agg], axis=-1)
+
+
+@register_model("voxel_net")
+class VoxelNet(_VoxelBase):
+    """VoxelNet: stacked VFE -> dense 3D middle convs -> RPN
+    (ref voxel_net.py:177)."""
+
+    def _svfe(self, batch, train):
+        """Stacked VFE: padded points -> dense (F, D, H, W, 128) grid."""
+        points, mask = batch["points"], batch["point_mask"]
+        if points.ndim == 4:
+            points = points.reshape((-1,) + points.shape[2:])
+            mask = mask.reshape((-1,) + mask.shape[2:])
+        spec = self.spec
+        nv = spec.num_voxels
+
+        ids, valid = voxel_ids(points, mask, spec)  # (F, N)
+        ones = valid.astype(points.dtype)
+        # 7-ch decoration: xyz, intensity, offset to voxel centroid
+        mean = voxel_mean_batched(points[..., :3], ids, valid, nv)
+        feats = jnp.concatenate(
+            [points, points[..., :3] - mean], axis=-1) * ones[..., None]
+
+        x = VFELayer(32)(feats, ids, valid, nv, train=train)
+        x = VFELayer(128)(x, ids, valid, nv, train=train)
+        x = nn.Dense(128, use_bias=False)(x)
+        x = MaskedBatchNorm()(x, train=train)
+        x = nn.relu(x) * ones[..., None]
+        return scatter_max_voxels_batched(x, ids, valid, spec)
+
+    def _middle(self, grid, train):
+        """Conv middle layers: 3 3D convs squashing z (ref voxel_net CML)."""
+        from coalign_tpu.models.voxel_backbone import Conv3DBNReLU
+        x = Conv3DBNReLU(64, stride=(2, 1, 1))(grid, train=train)
+        x = Conv3DBNReLU(64, padding=(0, 1, 1))(x, train=train)
+        x = Conv3DBNReLU(64, stride=(2, 1, 1))(x, train=train)
+        return height_compression(x)
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        grid = self._svfe(batch, train)
+        x = self._middle(grid, train)
+        x = BaseBEVBackbone.from_config(
+            self.args["base_bev_backbone"])(x, train=train)
+        return self._make_heads()(x)
+
+
+@register_model("voxel_net_intermediate")
+class VoxelNetIntermediate(VoxelNet):
+    """VoxelNet with single-scale attentive fusion on the RPN features
+    (ref voxel_net_intermediate.py:61)."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        b, l = batch["agent_mask"].shape
+        grid = self._svfe(batch, train)
+        x = self._middle(grid, train)
+        x = BaseBEVBackbone.from_config(
+            self.args["base_bev_backbone"])(x, train=train)
+        h, w, c = x.shape[1:]
+        ds = self.spec.ny // h
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], h, w,
+            self.args["voxel_size"][0] * ds)
+        fusion = build_fusion(self.args.get("fusion_method", "att"),
+                              self.args, c)
+        fused = fusion(x.reshape(b, l, h, w, c), affine,
+                       batch["agent_mask"], train=train)
+        return self._make_heads()(fused)

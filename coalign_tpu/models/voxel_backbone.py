@@ -1,0 +1,145 @@
+"""Dense 3D voxel backbones + SSFA: the SECOND / CIA-SSD compute path.
+
+TPU-first replacement for spconv (ref opencood/models/sub_modules/
+sparse_backbone_3d.py:33 VoxelBackBone8x, height_compression.py:10,
+cia_ssd_utils.py:6 SSFA): sparse GPU convolution does not map to the MXU, so
+the voxel grid lives DENSE in HBM channels-last (B, D, H, W, C) and every
+"sparse conv" becomes a dense 3D convolution that XLA tiles onto the MXU.
+Submanifold blocks multiply by the (non-dilated) occupancy mask to keep the
+reference's "features exist only at occupied sites" semantics; strided
+(regular sparse) convs let occupancy dilate, as spconv does.
+
+bfloat16-friendly: run under mixed precision for the big low-level grids.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from coalign_tpu.models.layers import ConvBNReLU, MaskedBatchNorm
+
+
+class Conv3DBNReLU(nn.Module):
+    """NDHWC 3D conv + BN + ReLU."""
+
+    features: int
+    kernel: tuple = (3, 3, 3)
+    stride: tuple = (1, 1, 1)
+    padding: Any = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * 3
+        elif isinstance(pad, (tuple, list)) and isinstance(pad[0], int):
+            pad = [(p, p) for p in pad]
+        x = nn.Conv(self.features, self.kernel, strides=self.stride,
+                    padding=pad, use_bias=False)(x)
+        x = MaskedBatchNorm()(x, train=train)
+        return nn.relu(x)
+
+
+class VoxelBackbone8x(nn.Module):
+    """4-stage 3D backbone, 8x spatial downsample, final z squash.
+
+    Mirrors ref sparse_backbone_3d.py:33-100 channel plan
+    (16 -> 16 -> 32 -> 64 -> 64 -> C_out, strides 1/1/2/2/2 + (2,1,1)).
+    Input (B, D, H, W, C_in); returns dict of per-stage features plus the
+    z-squashed output.
+    """
+
+    out_features: int = 128
+    submanifold_mask: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        occ = (jnp.abs(x).sum(-1, keepdims=True) > 0).astype(x.dtype)
+
+        def subm(x, feats, occ):
+            y = Conv3DBNReLU(feats)(x, train=train)
+            return y * occ if self.submanifold_mask else y
+
+        x = subm(x, 16, occ)
+        x1 = subm(x, 16, occ)
+
+        x = Conv3DBNReLU(32, stride=(2, 2, 2))(x1, train=train)
+        occ2 = nn.max_pool(occ, (2, 2, 2), strides=(2, 2, 2))
+        x = subm(x, 32, occ2)
+        x2 = subm(x, 32, occ2)
+
+        x = Conv3DBNReLU(64, stride=(2, 2, 2))(x2, train=train)
+        occ3 = nn.max_pool(occ2, (2, 2, 2), strides=(2, 2, 2))
+        x = subm(x, 64, occ3)
+        x3 = subm(x, 64, occ3)
+
+        # stage-4 z handling is adaptive: the reference assumes nz=41
+        # (41->21->11->5->2); small test grids must not collapse to depth 0.
+        d3 = x3.shape[1]
+        pz = 0 if (d3 - 3) // 2 + 1 >= 1 else 1
+        x = Conv3DBNReLU(64, stride=(2, 2, 2),
+                         padding=(pz, 1, 1))(x3, train=train)
+        x = Conv3DBNReLU(64)(x, train=train)
+        x4 = Conv3DBNReLU(64)(x, train=train)
+
+        # z squash: strided conv over depth only (ref conv_out)
+        d4 = x4.shape[1]
+        kz = min(3, d4)
+        sz = 2 if d4 > kz else 1
+        out = Conv3DBNReLU(self.out_features, kernel=(kz, 1, 1),
+                           stride=(sz, 1, 1), padding=(0, 0, 0))(x4,
+                                                                 train=train)
+        return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+                "out": out}
+
+
+def height_compression(x):
+    """(B, D, H, W, C) -> (B, H, W, D*C) dense BEV
+    (ref height_compression.py:10-27)."""
+    b, d, h, w, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+
+
+class SSFA(nn.Module):
+    """Spatial-Semantic Feature Aggregation (ref cia_ssd_utils.py:6-57).
+
+    Two bottom-up branches (spatial 128 @ full res, semantic 256 @ half
+    res), lateral 1x1s, deconv back up, per-pixel softmax attention blend.
+    NHWC, 128 channels out.
+    """
+
+    feature_num: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.feature_num
+        x0 = x
+        for _ in range(3):
+            x0 = ConvBNReLU(f, 3, 1, 1)(x0, train=train)
+        x1 = ConvBNReLU(2 * f, 3, 2, 1)(x0, train=train)
+        x1 = ConvBNReLU(2 * f, 3, 1, 1)(x1, train=train)
+        x1 = ConvBNReLU(2 * f, 3, 1, 1)(x1, train=train)
+
+        t0 = ConvBNReLU(f, 1, 1, 0)(x0, train=train)
+        t1 = ConvBNReLU(2 * f, 1, 1, 0)(x1, train=train)
+
+        def deconv(y):
+            y = nn.ConvTranspose(f, (3, 3), strides=(2, 2),
+                                 use_bias=False)(y)
+            y = MaskedBatchNorm()(y, train=train)
+            return nn.relu(y)
+
+        m0 = deconv(t1) + t0
+        m1 = deconv(t1)
+        o0 = ConvBNReLU(f, 3, 1, 1)(m0, train=train)
+        o1 = ConvBNReLU(f, 3, 1, 1)(m1, train=train)
+
+        w0 = nn.Conv(1, (1, 1), use_bias=False)(o0)
+        w0 = MaskedBatchNorm()(w0, train=train)
+        w1 = nn.Conv(1, (1, 1), use_bias=False)(o1)
+        w1 = MaskedBatchNorm()(w1, train=train)
+        w = nn.softmax(jnp.concatenate([w0, w1], axis=-1), axis=-1)
+        return o0 * w[..., 0:1] + o1 * w[..., 1:2]

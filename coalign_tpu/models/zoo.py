@@ -259,6 +259,152 @@ class PointPillarWhere2comm(_CollaborativeBase):
         return out
 
 
+@register_model("point_pillar_v2vnet_robust")
+class PointPillarV2VNetRobust(_CollaborativeBase):
+    """Robust V2VNet: learned pose correction + global consistency +
+    agent attention (ref point_pillar_v2vnet_robust.py:21-139; see
+    fuse/robust.py). The 3-stage curriculum (det -> pose nets -> joint,
+    ref :72-79) is driven by ``robust.stage`` via optimizer param masks
+    (tools/train_robust.stage_param_mask), not in-place requires_grad."""
+
+    def setup(self):
+        from coalign_tpu.models.fuse.robust import RobustFusion
+
+        self.encoder = self._make_encoder()
+        self.backbone = _backbone_from_config(self.args["base_bev_backbone"])
+        self.shrink = (DownsampleConv.from_config(self.args["shrink_header"])
+                       if "shrink_header" in self.args else None)
+        out_dim = (self.args["shrink_header"]["dim"][-1]
+                   if "shrink_header" in self.args
+                   else sum(self.args["base_bev_backbone"]
+                            ["num_upsample_filter"]))
+        rb = self.args.get("robust", {})
+        self.fusion = RobustFusion(
+            feature_dim=out_dim,
+            hidden=rb.get("hidden", 128),
+            downsample_rate=rb.get("downsample_rate", 2.0),
+            discrete_ratio=self.args["voxel_size"][0],
+            use_consistency=rb.get("use_consistency", True))
+        self.heads = self._make_heads()
+
+    def __call__(self, batch, train: bool = False):
+        from coalign_tpu.models.fuse.robust import tfm_to_pose3
+        from coalign_tpu.utils.transforms import (get_pairwise_transformation,
+                                                  inverse_tfm)
+
+        bev, _, bn_mask, (b, l) = self._encode_agents(batch, train)
+        x = self.backbone(bev, train=train, mask=bn_mask)
+        if self.shrink is not None:
+            x = self.shrink(x, train=train)
+        h, w, c = x.shape[1:]
+        fused, aux = self.fusion(
+            x.reshape(b, l, h, w, c),
+            batch["pairwise_t_matrix"].astype(x.dtype),
+            batch["agent_mask"], train=train)
+        out = self.heads(fused)
+        out.update(aux)
+        if "lidar_pose_clean" in batch:
+            clean = get_pairwise_transformation(batch["lidar_pose_clean"],
+                                                batch["agent_mask"])
+            noisy = batch["pairwise_t_matrix"]
+            target = tfm_to_pose3(
+                clean @ jnp.asarray(inverse_tfm(noisy)))
+            out["pose_corr_target"] = jax.lax.stop_gradient(target)
+        return out
+
+
+@register_model("point_pillar_mash")
+class PointPillarMash(_CollaborativeBase):
+    """MASH: pose-free correspondence-attention fusion
+    (ref point_pillar_mash.py:18-160; see fuse/mash.py for the redesign)."""
+
+    def setup(self):
+        from coalign_tpu.models.fuse.mash import MASHFusion
+
+        self.encoder = self._make_encoder()
+        self.backbone = _backbone_from_config(self.args["base_bev_backbone"])
+        self.shrink = (DownsampleConv.from_config(self.args["shrink_header"])
+                       if "shrink_header" in self.args else None)
+        out_dim = (self.args["shrink_header"]["dim"][-1]
+                   if "shrink_header" in self.args
+                   else sum(self.args["base_bev_backbone"]
+                            ["num_upsample_filter"]))
+        mash = self.args.get("mash", {})
+        self.fusion = MASHFusion(
+            feature_dim=out_dim,
+            coarse_downsample=mash.get("coarse_downsample", 4),
+            query_dim=mash.get("query_dim", 32))
+        self.heads = self._make_heads()
+
+    def __call__(self, batch, train: bool = False):
+        bev, affine, bn_mask, (b, l) = self._encode_agents(batch, train)
+        x = self.backbone(bev, train=train, mask=bn_mask)
+        if self.shrink is not None:
+            x = self.shrink(x, train=train)
+        h, w, c = x.shape[1:]
+        fused, corr_vol = self.fusion(x.reshape(b, l, h, w, c), affine,
+                                      batch["agent_mask"], train=train)
+        out = self.heads(fused)
+        out["corr_vol"] = corr_vol
+        return out
+
+
+@register_model("point_pillar_disconet")
+class PointPillarDiscoNet(PointPillarBaseline):
+    """DiscoNet student: baseline with DiscoFusion + the fused ``feature``
+    map exposed for knowledge distillation
+    (ref point_pillar_disconet.py:19-100)."""
+
+    @classmethod
+    def from_config(cls, args: dict):
+        args = dict(args)
+        args.setdefault("fusion_method", "disconet")
+        return cls(args=args)
+
+    def __call__(self, batch, train: bool = False):
+        bev, affine, bn_mask, (b, l) = self._encode_agents(batch, train)
+        x = self.backbone(bev, train=train, mask=bn_mask)
+        if self.shrink is not None:
+            x = self.shrink(x, train=train)
+        if self.compressor is not None:
+            x = self.compressor(x, train=train, mask=bn_mask)
+        h, w, c = x.shape[1:]
+        fused = self.fusion(x.reshape(b, l, h, w, c), affine,
+                            batch["agent_mask"], train=train)
+        out = self.heads(fused)
+        out["feature"] = fused
+        return out
+
+
+@register_model("point_pillar_disconet_teacher")
+class PointPillarDiscoNetTeacher(_PillarBase):
+    """Early-fusion teacher: runs on the merged ego-frame cloud
+    (``teacher_points``) and exposes ``teacher_feature``
+    (ref point_pillar_disconet_teacher.py:15-75)."""
+
+    def setup(self):
+        self.encoder = self._make_encoder()
+        self.backbone = _backbone_from_config(self.args["base_bev_backbone"])
+        self.shrink = (DownsampleConv.from_config(self.args["shrink_header"])
+                       if "shrink_header" in self.args else None)
+        self.heads = self._make_heads()
+
+    def __call__(self, batch, train: bool = False):
+        points = batch.get("teacher_points", batch["points"])
+        mask = batch.get("teacher_point_mask", batch["point_mask"])
+        if points.ndim == 4:  # (B, 1, N, 4) merged virtual agent
+            points = points.reshape((-1,) + points.shape[2:])
+            mask = mask.reshape((-1,) + mask.shape[2:])
+        bev = self.encoder(points, mask, train=train)
+        x = self.backbone(bev, train=train)
+        if self.shrink is not None:
+            x = self.shrink(x, train=train)
+        out = {"teacher_feature": x}
+        for k, v in self.heads(x).items():
+            out["teacher_" + k] = v
+        return out
+
+
 @register_model("point_pillar_uncertainty")
 class PointPillarUncertainty(PointPillar):
     """Single-agent PointPillars with a log-variance head — the CoAlign

@@ -91,6 +91,7 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
     valid = scores > score_threshold
 
     # top-k prefilter keeps shapes small for the NMS IoU matrix
+    prefilter_k = min(prefilter_k, k)
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(valid, scores, -1.0),
                                         prefilter_k)
     sel_valid = sel_scores > 0

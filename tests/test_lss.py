@@ -1,0 +1,172 @@
+"""Lift-Splat-Shoot camera branch: geometry oracle, voxel pooling, models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.models import build_model
+from coalign_tpu.ops.lss import (LSSSpec, bin_depths, depth_discretization,
+                                 get_geometry, voxel_pool)
+
+GRID_CONF = {"xbound": [-8, 8, 0.4], "ybound": [-8, 8, 0.4],
+             "zbound": [-10, 10, 20.0], "ddiscr": [2, 10, 8], "mode": "UD"}
+AUG_CONF = {"final_dim": [64, 96]}
+
+
+def _spec():
+    return LSSSpec.from_config(GRID_CONF, AUG_CONF, downsample=8)
+
+
+def test_depth_discretization_modes():
+    ud = depth_discretization(2, 10, 8, "UD")
+    np.testing.assert_allclose(ud, 2 + np.arange(8))
+    lid = depth_discretization(2, 50, 48, "LID")
+    assert lid[0] == 2 and len(lid) == 48
+    assert np.all(np.diff(lid) > 0)
+    assert np.diff(lid)[-1] > np.diff(lid)[0]  # increasing bin size
+
+    # bin_depths is the inverse map (UD)
+    idx = np.asarray(bin_depths(jnp.asarray(ud + 0.01), "UD", 2, 10, 8))
+    np.testing.assert_array_equal(idx, np.arange(8))
+
+
+def test_geometry_oracle():
+    """A camera at the lidar origin looking along +x: the central pixel at
+    depth d must land at (d, 0, 0) in the lidar frame."""
+    spec = _spec()
+    frustum = jnp.asarray(spec.frustum())  # (D, fH, fW, 3)
+    h, w = AUG_CONF["final_dim"]
+    fx = fy = 50.0
+    intrins = jnp.asarray([[[fx, 0, (w - 1) / 2], [0, fy, (h - 1) / 2],
+                            [0, 0, 1.0]]])
+    # cam->lidar: camera z (optical axis) -> lidar x, cam x -> -lidar y,
+    # cam y -> -lidar z
+    rots = jnp.asarray([[[0, 0, 1.0], [-1.0, 0, 0], [0, -1.0, 0]]])
+    trans = jnp.zeros((1, 3))
+    eye = jnp.tile(jnp.eye(3), (1, 1, 1))
+    geom = get_geometry(frustum, rots, trans, intrins, eye,
+                        jnp.zeros((1, 3)))
+    assert geom.shape == (1, 8, 8, 12, 3)
+    # central pixel: frustum grid linspace includes exact center when the
+    # feature grid is odd; use the nearest pixel and tolerance
+    fh, fw = spec.feat_hw
+    ci, cj = fh // 2, fw // 2
+    for di, d in enumerate(depth_discretization(2, 10, 8, "UD")):
+        p = np.asarray(geom[0, di, ci, cj])
+        assert abs(p[0] - d) < 1e-4
+        assert abs(p[1]) < d * 0.12 and abs(p[2]) < d * 0.12
+
+
+def test_voxel_pool_oracle():
+    spec = _spec()
+    # two "points": one at (0.1, 0.1), one at (-4, 3); same feature dim 2
+    geom = jnp.asarray(np.array([
+        [[[[0.1, 0.1, 0.0], [-4.0, 3.0, 0.0]]]],
+    ], dtype=np.float32))  # (N=1, D=1, fH=1, fW=2, 3)
+    feats = jnp.asarray(np.array(
+        [[[[[1.0, 2.0], [3.0, 4.0]]]]], dtype=np.float32))
+    bev = voxel_pool(geom, feats, spec)
+    assert bev.shape == (40, 40, 2)
+    iy, ix = int((0.1 + 8) / 0.4), int((0.1 + 8) / 0.4)
+    np.testing.assert_allclose(np.asarray(bev[iy, ix]), [1.0, 2.0])
+    iy2, ix2 = int((3.0 + 8) / 0.4), int((-4.0 + 8) / 0.4)
+    np.testing.assert_allclose(np.asarray(bev[iy2, ix2]), [3.0, 4.0])
+    assert float(jnp.abs(bev).sum()) == 10.0  # nothing else written
+
+
+def _camera_batch(b=1, l=2, n=2):
+    rng = np.random.default_rng(0)
+    h, w = AUG_CONF["final_dim"]
+    eye3 = np.tile(np.eye(3, dtype=np.float32), (b, l, n, 1, 1))
+    intrins = eye3.copy()
+    intrins[..., 0, 0] = 50.0
+    intrins[..., 1, 1] = 50.0
+    intrins[..., 0, 2] = (w - 1) / 2
+    intrins[..., 1, 2] = (h - 1) / 2
+    rot = np.array([[0, 0, 1.0], [-1.0, 0, 0], [0, -1.0, 0]],
+                   dtype=np.float32)
+    batch = {
+        "agent_mask": jnp.ones((b, l), dtype=bool),
+        "pairwise_t_matrix": jnp.tile(jnp.eye(4), (b, l, l, 1, 1)),
+        "image_inputs": {
+            "imgs": jnp.asarray(rng.normal(
+                size=(b, l, n, h, w, 3)).astype(np.float32)),
+            "rots": jnp.asarray(np.tile(rot, (b, l, n, 1, 1))),
+            "trans": jnp.zeros((b, l, n, 3)),
+            "intrins": jnp.asarray(intrins),
+            "post_rots": jnp.asarray(eye3),
+            "post_trans": jnp.zeros((b, l, n, 3)),
+        },
+    }
+    return batch
+
+
+def _args(extra=None):
+    a = {"grid_conf": GRID_CONF, "data_aug_conf": AUG_CONF,
+         "img_features": 32, "anchor_number": 2, "bev_out_channels": 64,
+         "fusion_args": {"core_method": "att_ms", "att": {"feat_dim": 64}}}
+    if extra:
+        a.update(extra)
+    return a
+
+
+def test_lss_single_agent_forward():
+    model = build_model({"core_method": "lift_splat_shoot",
+                         "args": _args()})
+    batch = _camera_batch(b=2, l=1, n=2)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    # BEV grid 40x40: /2 stem, /4 blocks, decoded back up to full res
+    assert out["cls_preds"].shape == (2, 40, 40, 2)
+    assert out["reg_preds"].shape == (2, 40, 40, 14)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_camera_batcher_from_disk(tmp_path):
+    """OPV2V camera fixture -> reader -> CameraBatcher -> LSS forward."""
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.camera_batch import CameraBatcher
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.data.opv2v import OPV2VBaseDataset
+
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=(-8, -8, -3, 8, 8, 1),
+                             points_per_object=16, ground_points=32, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "cam"), scenes,
+                               frames_per_scenario=2, with_cameras=True,
+                               cam_hw=(64, 96))
+    ds = OPV2VBaseDataset(root, train=False, load_camera=True)
+    batcher = CameraBatcher(max_cav=2, num_cams=2,
+                            final_dim=AUG_CONF["final_dim"],
+                            max_objects=8,
+                            lidar_range=(-8, -8, -3, 8, 8, 1))
+    batch = batcher.assemble([ds[0]])
+    assert batch["image_inputs"]["imgs"].shape == (1, 2, 2, 64, 96, 3)
+    assert batch["gt_mask"].sum() > 0
+    # resize folded into post_rots (96/160 scale on x... fixture is 96 wide
+    # already resized to 96 -> scale 1); just check structure is sane
+    assert np.isfinite(batch["image_inputs"]["rots"]).all()
+
+    model = build_model({"core_method": "lift_splat_shoot_intermediate",
+                         "args": _args()})
+    jb = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+              {kk: jnp.asarray(vv) for kk, vv in v.items()})
+          for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), jb, train=False)
+    out = model.apply(variables, jb, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_lss_intermediate_forward_ms_and_ss():
+    for method in ("att_ms", "att"):
+        model = build_model({
+            "core_method": "lift_splat_shoot_intermediate",
+            "args": _args({"supervise_single": True,
+                           "fusion_args": {"core_method": method,
+                                           "att": {"feat_dim": 64}}})})
+        batch = _camera_batch(b=1, l=2, n=2)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(variables, batch, train=False)
+        assert out["cls_preds"].shape == (1, 40, 40, 2)
+        assert out["cls_preds_single"].shape == (2, 40, 40, 2)
+        assert np.isfinite(np.asarray(out["cls_preds"])).all()
