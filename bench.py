@@ -68,6 +68,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the OPV2V-scale program takes minutes
+    # to compile via the remote TPU compiler; cache hits make reruns fast
+    try:
+        cache_dir = "/root/.cache/jax_comp_cache"
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
     from coalign_tpu.inference import make_infer_fn
     from coalign_tpu.models import build_model
@@ -86,7 +95,10 @@ def main():
     model = build_model({"core_method": "point_pillar_baseline_multiscale",
                          "args": MODEL_ARGS})
     spec = make_anchor_spec(ANCHOR_ARGS, POSTPROCESS["target_args"], "hwl")
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # jit the init: eager init dispatches one remote compile per op on TPU
+    variables = jax.jit(
+        lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
+                                                    batch)
     infer = make_infer_fn(model, spec.anchors, POSTPROCESS)
 
     # compile + warmup

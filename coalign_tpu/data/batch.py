@@ -27,6 +27,13 @@ from coalign_tpu.utils import box_utils as B
 from coalign_tpu.utils.transforms import (
     get_pairwise_transformation, inverse_tfm, pose_to_tfm, project_points)
 
+try:  # C++ data plane (coalign_tpu/native); numpy fallback below
+    from coalign_tpu import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None
+
 
 class IntermediateFusionBatcher:
     """Assemble intermediate-fusion batches from base frames."""
@@ -76,13 +83,19 @@ class IntermediateFusionBatcher:
 
             for ai, ag in enumerate(kept):
                 pts = ag["points"]
-                inr = np.asarray(B.mask_points_by_range(pts, self.lidar_range))
-                pts = pts[inr]
-                if len(pts) > n:
-                    sel = self.rng.choice(len(pts), n, replace=False)
-                    pts = pts[sel]
-                points[bi, ai, :len(pts)] = pts
-                point_mask[bi, ai, :len(pts)] = True
+                if _native is not None:
+                    # C++ fast path: range-mask + subsample + pad in one call
+                    points[bi, ai], point_mask[bi, ai] = \
+                        _native.mask_pad_points(pts, self.lidar_range, n)
+                else:
+                    inr = np.asarray(
+                        B.mask_points_by_range(pts, self.lidar_range))
+                    pts = pts[inr]
+                    if len(pts) > n:
+                        sel = self.rng.choice(len(pts), n, replace=False)
+                        pts = pts[sel]
+                    points[bi, ai, :len(pts)] = pts
+                    point_mask[bi, ai, :len(pts)] = True
                 agent_mask[bi, ai] = True
                 poses_clean[bi, ai] = ag["pose"]
                 poses_noisy[bi, ai] = ag["pose"] + self._noise()

@@ -29,9 +29,22 @@ import os
 import numpy as np
 import yaml
 
-from coalign_tpu.data.pcd_io import read_pcd
+from coalign_tpu.data.pcd_io import read_pcd as _read_pcd_np
 from coalign_tpu.utils import box_utils as B
 from coalign_tpu.utils.transforms import pose_to_tfm
+
+try:  # C++ fast path for PCD parsing (coalign_tpu/native)
+    from coalign_tpu import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def read_pcd(path: str):
+    if _native is not None:
+        return _native.parse_pcd(path)
+    return _read_pcd_np(path)
 
 
 def _load_params(path: str) -> dict:

@@ -1,0 +1,81 @@
+"""Auxiliary utils: param surgery, consensus registration, heterogeneity,
+subsampling, profiling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.utils.consensus import max_consensus_align
+from coalign_tpu.utils.heter import AgentSelector
+from coalign_tpu.utils.model_utils import (compose_params, count_params,
+                                           flatten_params,
+                                           rename_param_keys,
+                                           unflatten_params)
+from coalign_tpu.utils.profiling import StageTimer
+from coalign_tpu.utils.subsampling import (mask_ego_points,
+                                           random_subsample,
+                                           voxel_grid_subsample)
+
+
+def test_param_surgery_roundtrip():
+    params = {"backbone": {"conv1": {"kernel": np.ones((3, 3))}},
+              "heads": {"cls": {"bias": np.zeros(2)}}}
+    flat = flatten_params(params)
+    assert set(flat) == {"backbone/conv1/kernel", "heads/cls/bias"}
+    assert unflatten_params(flat) == params
+
+    renamed = rename_param_keys(params, r"^backbone", "encoder")
+    assert "encoder" in renamed and "backbone" not in renamed
+
+    donor = {"backbone": {"conv1": {"kernel": np.full((3, 3), 7.0)}},
+             "heads": {"cls": {"bias": np.ones(2)}}}
+    merged = compose_params(params, donor, [r"backbone/"])
+    assert (merged["backbone"]["conv1"]["kernel"] == 7.0).all()
+    assert (merged["heads"]["cls"]["bias"] == 0).all()
+    assert count_params(params) == 9 + 2
+
+
+def test_max_consensus_recovers_shift():
+    rng = np.random.default_rng(0)
+    dst = rng.uniform(-10, 10, (40, 2)).astype(np.float32)
+    shift = np.array([1.0, -0.5], dtype=np.float32)
+    src = dst - shift  # moving src by +shift aligns it
+    best, score = max_consensus_align(
+        jnp.asarray(src), jnp.ones(40, bool), jnp.asarray(dst),
+        jnp.ones(40, bool), xy_span=2.0, xy_steps=9, yaw_span_deg=0.0,
+        yaw_steps=1, radius=0.3)
+    np.testing.assert_allclose(np.asarray(best[:2]), shift, atol=0.26)
+    assert int(score) >= 35
+
+
+def test_agent_selector():
+    sel = AgentSelector(lidar_ratio=0.5, ego_modality="camera", seed=1)
+    mods = sel.select(10)
+    assert mods[0] == "camera"
+    assert set(mods) <= {"lidar", "camera"}
+
+
+def test_subsampling():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (500, 4)).astype(np.float32)
+    sub = voxel_grid_subsample(pts, 2.0)
+    assert len(sub) < len(pts)
+    keys = np.floor(sub[:, :3] / 2.0).astype(int)
+    assert len(np.unique(keys, axis=0)) == len(sub)
+
+    r = random_subsample(pts, 100)
+    assert len(r) == 100
+    pts[0] = [0.1, 0.1, 0, 0]
+    masked = mask_ego_points(pts)
+    assert len(masked) < len(pts)
+    assert not ((np.abs(masked[:, 0]) < 1.95)
+                & (np.abs(masked[:, 1]) < 1.1)).any()
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
