@@ -79,3 +79,36 @@ def test_stage_timer():
         pass
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
+
+
+def test_comm_volume_accounting():
+    from coalign_tpu.utils.compression import (comm_volume_mbits,
+                                               masked_comm_volume_mbits)
+    # 256ch 100x352 f32 map ~ 115.3 Mbit (lidar_benchmark.md scale)
+    v = comm_volume_mbits((100, 352, 256))
+    assert 280 < v < 300
+    assert abs(masked_comm_volume_mbits(0.01, (100, 352, 256)) - v * 0.01) \
+        < 1e-6
+    v8 = comm_volume_mbits((100, 352, 256), dtype_bits=8,
+                           compression_ratio=64)
+    assert v8 < v / 200
+
+
+def test_bev_keypoints_prefer_structure():
+    import jax.numpy as jnp
+    from coalign_tpu.utils.keypoints import sample_bev_keypoints
+    rng = np.random.default_rng(0)
+    # a dense wall of points (structure) + sparse ground
+    wall = np.stack([np.full(300, 5.0) + rng.normal(0, 0.05, 300),
+                     np.linspace(-8, 8, 300),
+                     rng.uniform(0, 1.5, 300)], -1)
+    ground = np.stack([rng.uniform(-15, 15, 300),
+                       rng.uniform(-15, 15, 300),
+                       np.full(300, -1.9)], -1)
+    pts = np.concatenate([wall, ground]).astype(np.float32)
+    mask = np.ones(600, dtype=bool)
+    idx = np.asarray(sample_bev_keypoints(
+        jnp.asarray(pts), jnp.asarray(mask), [-16, -16, -3, 16, 16, 2],
+        voxel=0.5, num_keypoints=64, pool=256))
+    frac_wall = (idx < 300).mean()
+    assert frac_wall > 0.5  # keypoints concentrate on the structure
