@@ -80,7 +80,11 @@ def main():
     from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
     from coalign_tpu.inference import make_infer_fn
     from coalign_tpu.models import build_model
+    from coalign_tpu.models.layers import set_compute_dtype
     from coalign_tpu.postprocess.anchors import make_anchor_spec
+
+    # MXU-native conv dtype (params + BN stats + geometry stay f32)
+    set_compute_dtype(jnp.bfloat16)
 
     dataset = SyntheticScenes(
         num_frames=BATCH, num_agents=MAX_CAV, num_objects=20,

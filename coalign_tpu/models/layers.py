@@ -22,6 +22,21 @@ import jax.numpy as jnp
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.99
 
+# Global compute-dtype policy: None = float32; set to jnp.bfloat16 to run
+# the conv stack on the MXU's native dtype (params stay float32, BatchNorm
+# statistics stay float32 — see MaskedBatchNorm). Read at trace time.
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype):
+    """Set the conv-stack computation dtype (None | jnp.bfloat16)."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over all leading axes with optional element weights.
@@ -80,7 +95,7 @@ class ConvBNReLU(nn.Module):
             [(self.padding, self.padding)] * 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=pad,
-                    use_bias=False)(x)
+                    use_bias=False, dtype=compute_dtype())(x)
         x = MaskedBatchNorm()(x, mask=mask, train=train)
         if self.use_relu:
             x = nn.relu(x)
@@ -97,16 +112,17 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(1, 1), (1, 1)], use_bias=False)(x)
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=compute_dtype())(x)
         out = MaskedBatchNorm()(out, mask=mask, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False)(out)
+                      use_bias=False, dtype=compute_dtype())(out)
         out = MaskedBatchNorm()(out, mask=mask, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False)(x)
+                               use_bias=False, dtype=compute_dtype())(x)
             identity = MaskedBatchNorm()(identity, mask=mask, train=train)
         return nn.relu(out + identity)
 
@@ -160,11 +176,11 @@ class Deblock(nn.Module):
         if s >= 1:
             s = int(s)
             x = nn.ConvTranspose(self.filters, (s, s), strides=(s, s),
-                                 use_bias=False)(x)
+                                 use_bias=False, dtype=compute_dtype())(x)
         else:
             s = int(round(1 / s))
             x = nn.Conv(self.filters, (s, s), strides=(s, s),
-                        use_bias=False)(x)
+                        use_bias=False, dtype=compute_dtype())(x)
         x = MaskedBatchNorm()(x, mask=mask, train=train)
         return nn.relu(x)
 

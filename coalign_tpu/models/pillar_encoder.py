@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from coalign_tpu.models.layers import MaskedBatchNorm
+from coalign_tpu.models.layers import MaskedBatchNorm, compute_dtype
 from coalign_tpu.ops import pillars as P
 
 
@@ -38,8 +38,12 @@ class PillarEncoder(nn.Module):
         f, n, _ = points.shape
         ids, valid = jax.vmap(lambda p, m: P.pillar_ids(p, m, self.spec))(
             points, mask)
-        feats = jax.vmap(lambda p, i, v: P.decorate_points(p, i, v, self.spec))(
+        # ONE co-sort by pillar id so every downstream segment op skips its
+        # internal sort (indices_are_sorted) — the encoder hot spot
+        points, ids, valid = jax.vmap(P.sort_points_by_pillar)(
             points, ids, valid)
+        feats = jax.vmap(lambda p, i, v: P.decorate_points_sorted(
+            p, i, v, self.spec))(points, ids, valid)
         if not self.use_absolute_xyz:
             feats = feats[..., 3:]
         if self.with_distance:
@@ -51,20 +55,22 @@ class PillarEncoder(nn.Module):
         for i, out_ch in enumerate(self.num_filters):
             last = i == len(self.num_filters) - 1
             units = out_ch if last else out_ch // 2
-            x = nn.Dense(units, use_bias=not self.use_norm)(x)
+            x = nn.Dense(units, use_bias=not self.use_norm,
+                         dtype=compute_dtype())(x)
             if self.use_norm:
                 x = MaskedBatchNorm()(x, mask=valid, train=train)
             x = nn.relu(x) * valid[..., None]
             if not last:
                 # per-pillar max gathered back + concat (PFNLayer:46-52)
                 def seg_max(xi, idi):
-                    return jax.ops.segment_max(xi, idi, num_segments=num_seg)
+                    return jax.ops.segment_max(xi, idi, num_segments=num_seg,
+                                               indices_are_sorted=True)
                 pmax = jax.vmap(seg_max)(x, ids)
                 pmax = jnp.where(jnp.isneginf(pmax), 0.0, pmax)
                 gathered = jnp.take_along_axis(
                     pmax, ids[..., None], axis=1)
                 x = jnp.concatenate([x, gathered], axis=-1)
 
-        bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev(xi, i, v, self.spec))(
-            x, ids, valid)
+        bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev(
+            xi, i, v, self.spec, indices_are_sorted=True))(x, ids, valid)
         return bev

@@ -108,10 +108,14 @@ class _CollaborativeBase(_PillarBase):
     """Shared forward plumbing for intermediate-fusion models."""
 
     def _encode_agents(self, batch, train):
+        from coalign_tpu.models.layers import compute_dtype
+
         b, l, n, _ = batch["points"].shape
         points = batch["points"].reshape(b * l, n, -1)
         pmask = batch["point_mask"].reshape(b * l, n)
         bev = self.encoder(points, pmask, train=train)  # (B*L, ny, nx, C)
+        if compute_dtype() is not None:
+            bev = bev.astype(compute_dtype())
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], self.spec.ny, self.spec.nx,
             self.args["voxel_size"][0])  # (B, L, L, 2, 3); [b,i,j] i<-j warp

@@ -52,6 +52,13 @@ def load():
         lib.transform_points.restype = None
         lib.transform_points.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_void_p]
+        lib.voxelize_pillars.restype = ctypes.c_int64
+        lib.voxelize_pillars.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32]
         _lib = lib
         return _lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -92,6 +99,47 @@ def mask_pad_points(points: np.ndarray, lidar_range, max_out: int,
                         ctypes.c_float(ego_y_radius),
                         out.ctypes.data, mask.ctypes.data, max_out)
     return out, mask.astype(bool)
+
+
+class PillarVoxelizer:
+    """Reusable host voxelizer: points -> fixed-capacity pillar tables.
+
+    The scratch grid is epoch-reset (no per-call memset). One instance per
+    worker; not thread-safe."""
+
+    def __init__(self, lidar_range, voxel_size, max_pillars=32000,
+                 max_pts=32):
+        lib = load()
+        if lib is None:
+            raise RuntimeError(
+                f"native data plane unavailable: {_build_error}")
+        self.lib = lib
+        self.range6 = np.asarray(lidar_range, dtype=np.float32)
+        self.vx, self.vy = float(voxel_size[0]), float(voxel_size[1])
+        self.nx = int(round((lidar_range[3] - lidar_range[0]) / self.vx))
+        self.ny = int(round((lidar_range[4] - lidar_range[1]) / self.vy))
+        self.max_pillars = max_pillars
+        self.max_pts = max_pts
+        self.grid_slot = np.zeros(self.nx * self.ny, dtype=np.int32)
+        self.grid_epoch = np.full(self.nx * self.ny, -1, dtype=np.int32)
+        self.epoch = 0
+
+    def __call__(self, points: np.ndarray):
+        """Returns (pillar_pts (M, P, 4), coords (M, 2 iy/ix), npts (M,),
+        count) with M = max_pillars, zero padded."""
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        out = np.zeros((self.max_pillars, self.max_pts, 4), dtype=np.float32)
+        coords = np.zeros((self.max_pillars, 2), dtype=np.int32)
+        npts = np.zeros(self.max_pillars, dtype=np.int32)
+        self.epoch += 1
+        count = self.lib.voxelize_pillars(
+            pts.ctypes.data, len(pts), self.range6.ctypes.data,
+            ctypes.c_float(self.vx), ctypes.c_float(self.vy),
+            self.nx, self.ny, self.max_pillars, self.max_pts,
+            out.ctypes.data, coords.ctypes.data, npts.ctypes.data,
+            self.grid_slot.ctypes.data, self.grid_epoch.ctypes.data,
+            ctypes.c_int32(self.epoch))
+        return out, coords, npts, int(count)
 
 
 def transform_points(points: np.ndarray, tfm: np.ndarray) -> np.ndarray:

@@ -125,6 +125,56 @@ int64_t mask_pad_points(const float* pts, int64_t n,
     return written;
 }
 
+// Voxelize points into a fixed-capacity pillar table (the spconv
+// VoxelGeneratorV2 host role, ref sp_voxel_preprocessor.py:22-60): each
+// occupied (iy, ix) cell becomes a pillar holding up to max_pts points.
+// Outputs:
+//   pillar_pts    (max_pillars x max_pts x 4) float, zero padded
+//   pillar_coords (max_pillars x 2) int32 (iy, ix), zero padded
+//   pillar_npts   (max_pillars) int32
+// scratch: caller-provided int32 grid of ny*nx entries (reused across
+// calls; reset lazily via the epoch trick so no memset is needed).
+// Returns the number of pillars written.
+int64_t voxelize_pillars(const float* pts, int64_t n,
+                         const float* range6, float vx, float vy,
+                         int64_t nx, int64_t ny,
+                         int64_t max_pillars, int64_t max_pts,
+                         float* pillar_pts, int32_t* pillar_coords,
+                         int32_t* pillar_npts,
+                         int32_t* grid_slot, int32_t* grid_epoch,
+                         int32_t epoch) {
+    int64_t num_pillars = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const float* p = pts + i * 4;
+        if (!(p[0] >= range6[0] && p[0] < range6[3] &&
+              p[1] >= range6[1] && p[1] < range6[4] &&
+              p[2] >= range6[2] && p[2] <= range6[5]))
+            continue;
+        int64_t ix = static_cast<int64_t>((p[0] - range6[0]) / vx);
+        int64_t iy = static_cast<int64_t>((p[1] - range6[1]) / vy);
+        if (ix < 0 || ix >= nx || iy < 0 || iy >= ny) continue;
+        int64_t cell = iy * nx + ix;
+        int64_t slot;
+        if (grid_epoch[cell] != epoch) {
+            if (num_pillars >= max_pillars) continue;
+            slot = num_pillars++;
+            grid_epoch[cell] = epoch;
+            grid_slot[cell] = static_cast<int32_t>(slot);
+            pillar_coords[slot * 2 + 0] = static_cast<int32_t>(iy);
+            pillar_coords[slot * 2 + 1] = static_cast<int32_t>(ix);
+            pillar_npts[slot] = 0;
+        } else {
+            slot = grid_slot[cell];
+        }
+        int32_t cnt = pillar_npts[slot];
+        if (cnt >= max_pts) continue;  // per-pillar cap, like the reference
+        memcpy(pillar_pts + (slot * max_pts + cnt) * 4, p,
+               4 * sizeof(float));
+        pillar_npts[slot] = cnt + 1;
+    }
+    return num_pillars;
+}
+
 // Project points in place by a row-major 4x4 transform (xyz1 convention).
 void transform_points(float* pts, int64_t n, const float* tfm) {
     for (int64_t i = 0; i < n; ++i) {

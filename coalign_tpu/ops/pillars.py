@@ -71,7 +71,84 @@ def pillar_ids(points, mask, spec: PillarSpec):
     return ids, valid
 
 
-def decorate_points(points, ids, valid, spec: PillarSpec):
+def sort_points_by_pillar(points, ids, valid):
+    """Co-sort (points, valid) by pillar id with ONE lax.sort network.
+
+    TPU scatters (segment_sum/max) sort their indices internally; doing it
+    once here and passing ``indices_are_sorted=True`` downstream removes a
+    sort per segment op — the pillar encoder's hot spot at OPV2V scale.
+    points (N, C), ids (N,), valid (N,) -> same, sorted by id.
+    """
+    ops = (ids, valid.astype(jnp.int32)) + tuple(
+        points[:, i] for i in range(points.shape[1]))
+    out = jax.lax.sort(ops, dimension=0, num_keys=1)
+    ids_s, valid_s = out[0], out[1].astype(bool)
+    pts_s = jnp.stack(out[2:], axis=-1)
+    return pts_s, ids_s, valid_s
+
+
+def _forward_fill(x, keep):
+    """y_i = x_i if keep_i else y_(i-1): log-depth associative scan."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    vals, _ = jax.lax.associative_scan(
+        op, (x, jnp.broadcast_to(keep[:, None], x.shape)), axis=0)
+    return vals
+
+
+def sorted_segment_stats(x, ids, valid):
+    """Per-point segment sums via the cumsum trick (ids SORTED).
+
+    Returns per-point (sum over own segment) with NO scatter/gather — the
+    LSS QuickCumsum idea (ref camera_utils.py:209) applied to pillar
+    decoration. x: (N, C) pre-masked (invalid rows zero)."""
+    n = x.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    csum = jnp.cumsum(x, axis=0)
+    csum_prev = jnp.concatenate([jnp.zeros_like(x[:1]), csum[:-1]], axis=0)
+    # cumsum just BEFORE the segment start, broadcast to members
+    base = _forward_fill(jnp.where(start[:, None], csum_prev, 0.0), start)
+    # cumsum AT the segment end, broadcast back to members (reverse fill)
+    end = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
+    top = _forward_fill(jnp.where(end[:, None], csum, 0.0)[::-1],
+                        end[::-1])[::-1]
+    del n, valid
+    return top - base
+
+
+def decorate_points_sorted(points, ids, valid, spec: PillarSpec):
+    """Scatter/gather-free pillar decoration for SORTED ids (the fast path
+    of the pillar encoder; semantics identical to decorate_points).
+
+    The running sum is taken over PILLAR-CENTERED coordinates (|value| <=
+    voxel size) so the f32 cumsum over 100k+ points keeps centimeter
+    precision — cumsum of raw world coordinates would drift ~3 cm."""
+    ones = valid.astype(points.dtype)
+    ix = (ids % spec.nx).astype(points.dtype)
+    iy = jnp.minimum(ids // spec.nx, spec.ny - 1).astype(points.dtype)
+    r, v = spec.lidar_range, spec.voxel_size
+    cx = ix * v[0] + (v[0] / 2 + r[0])
+    cy = iy * v[1] + (v[1] / 2 + r[1])
+    cz = jnp.full_like(cx, v[2] / 2 + r[2])
+    center = jnp.stack([cx, cy, cz], axis=-1)
+    f_center = points[:, :3] - center
+
+    rel1 = jnp.concatenate([f_center, jnp.ones_like(points[:, :1])],
+                           axis=-1) * ones[:, None]
+    seg = sorted_segment_stats(rel1, ids, valid)
+    mean_rel = seg[:, :3] / jnp.maximum(seg[:, 3:], 1.0)
+    f_cluster = f_center - mean_rel
+
+    feats = jnp.concatenate([points, f_cluster, f_center], axis=-1)
+    return feats * ones[:, None]
+
+
+def decorate_points(points, ids, valid, spec: PillarSpec,
+                    indices_are_sorted: bool = False):
     """Per-point 10-channel pillar decoration (ref pillar_vfe.py:118-143).
 
     points: (N, 4), ids: (N,), valid: (N,) for ONE frame.
@@ -79,10 +156,11 @@ def decorate_points(points, ids, valid, spec: PillarSpec):
     """
     num_seg = spec.ny * spec.nx + 1
     ones = valid.astype(points.dtype)
-    xyz = points[:, :3] * ones[:, None]
-    seg_sum = jax.ops.segment_sum(xyz, ids, num_segments=num_seg)
-    seg_cnt = jax.ops.segment_sum(ones, ids, num_segments=num_seg)
-    mean = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None]
+    xyz1 = jnp.concatenate([points[:, :3], jnp.ones_like(points[:, :1])],
+                           axis=-1) * ones[:, None]
+    seg = jax.ops.segment_sum(xyz1, ids, num_segments=num_seg,
+                              indices_are_sorted=indices_are_sorted)
+    mean = seg[:, :3] / jnp.maximum(seg[:, 3:], 1.0)
     f_cluster = points[:, :3] - mean[ids]
 
     ix = (ids % spec.nx).astype(points.dtype)
@@ -97,7 +175,8 @@ def decorate_points(points, ids, valid, spec: PillarSpec):
     return feats * ones[:, None]
 
 
-def scatter_max_bev(point_feats, ids, valid, spec: PillarSpec):
+def scatter_max_bev(point_feats, ids, valid, spec: PillarSpec,
+                    indices_are_sorted: bool = False):
     """Max-reduce per-point features into the dense BEV canvas.
 
     point_feats: (N, C), ids: (N,), valid: (N,) for ONE frame.
@@ -107,11 +186,40 @@ def scatter_max_bev(point_feats, ids, valid, spec: PillarSpec):
     num_seg = spec.ny * spec.nx + 1
     neg = jnp.finfo(point_feats.dtype).min
     feats = jnp.where(valid[:, None], point_feats, neg)
-    bev = jax.ops.segment_max(feats, ids, num_segments=num_seg)
-    occupied = jax.ops.segment_sum(valid.astype(jnp.int32), ids,
-                                   num_segments=num_seg) > 0
-    bev = jnp.where(occupied[:-1, None], bev[:-1], 0.0)
+    bev = jax.ops.segment_max(feats, ids, num_segments=num_seg,
+                              indices_are_sorted=indices_are_sorted)
+    # features are post-ReLU (non-negative), so clamping maps the -inf of
+    # empty pillars to the reference's zero canvas without an extra
+    # occupancy scatter
+    bev = jnp.maximum(bev[:-1], 0.0)
     return bev.reshape(spec.ny, spec.nx, -1)
+
+
+def scatter_max_bev_sorted(point_feats, ids, valid, spec: PillarSpec):
+    """Sorted-ids scatter: segmented running max + ONE unique-index
+    set-scatter of the segment-end rows (features must be post-ReLU,
+    like scatter_max_bev)."""
+    n = point_feats.shape[0]
+    feats = point_feats * valid[:, None]
+
+    # segmented cummax: running max that resets at segment starts
+    def op(a, b):
+        av, aid = a
+        bv, bid = b
+        same = (aid == bid)
+        return (jnp.where(same, jnp.maximum(av, bv), bv), bid)
+
+    ids_b = jnp.broadcast_to(ids[:, None], feats.shape)
+    cmax, _ = jax.lax.associative_scan(op, (feats, ids_b), axis=0)
+    end = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
+    num_seg = spec.ny * spec.nx + 1
+    # only segment-end rows carry the max; route others to the sentinel
+    tgt = jnp.where(end & valid, ids, num_seg - 1)
+    canvas = jnp.zeros((num_seg, feats.shape[1]), feats.dtype)
+    canvas = canvas.at[tgt].max(cmax, indices_are_sorted=False,
+                                unique_indices=False, mode="drop")
+    del n
+    return canvas[:-1].reshape(spec.ny, spec.nx, -1)
 
 
 def pillar_count_bev(ids, valid, spec: PillarSpec):

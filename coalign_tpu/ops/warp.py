@@ -54,10 +54,10 @@ def _bilinear_gather(src, fx, fy):
         vals = flat[idx.reshape(-1)].reshape(idx.shape + (c,))
         return vals * inb[..., None].astype(src.dtype)
 
-    w00 = ((1 - tx) * (1 - ty))[..., None]
-    w01 = (tx * (1 - ty))[..., None]
-    w10 = ((1 - tx) * ty)[..., None]
-    w11 = (tx * ty)[..., None]
+    w00 = ((1 - tx) * (1 - ty))[..., None].astype(src.dtype)
+    w01 = (tx * (1 - ty))[..., None].astype(src.dtype)
+    w10 = ((1 - tx) * ty)[..., None].astype(src.dtype)
+    w11 = (tx * ty)[..., None].astype(src.dtype)
     return (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
             + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
 
