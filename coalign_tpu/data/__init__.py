@@ -53,6 +53,9 @@ def build_dataset(params: dict, train: bool = True):
             max_cav=kw["max_cav"], final_dim=final_dim,
             lidar_range=kw["lidar_range"], comm_range=kw["comm_range"],
             pos_std=kw["pos_std"], rot_std=kw["rot_std"])
+    if train and params.get("data_augment"):
+        from coalign_tpu.data.augment import WorldAugmentor
+        kw["augmentor"] = WorldAugmentor(params["data_augment"])
     batchers = {
         "intermediate": IntermediateFusionBatcher,
         "early": EarlyFusionBatcher,

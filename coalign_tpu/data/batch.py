@@ -40,7 +40,8 @@ class IntermediateFusionBatcher:
 
     def __init__(self, max_cav=5, max_points=30000, max_objects=100,
                  lidar_range=(-140.8, -40, -3, 140.8, 40, 1),
-                 comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303):
+                 comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303,
+                 augmentor=None):
         self.max_cav = max_cav
         self.max_points = max_points
         self.max_objects = max_objects
@@ -49,6 +50,7 @@ class IntermediateFusionBatcher:
         self.pos_std = pos_std
         self.rot_std = rot_std
         self.rng = np.random.default_rng(seed)
+        self.augmentor = augmentor  # data/augment.WorldAugmentor or None
 
     def _noise(self):
         if self.pos_std == 0 and self.rot_std == 0:
@@ -71,6 +73,8 @@ class IntermediateFusionBatcher:
         gt_mask = np.zeros((b, m), dtype=bool)
 
         for bi, frame in enumerate(frames):
+            if self.augmentor is not None:
+                frame = self.augmentor(frame)
             agents = frame["agents"]
             ego_pose = agents[0]["pose"]
             # comm-range filter wrt ego (ref intermediate_fusion_dataset.py:277)
