@@ -9,8 +9,6 @@ come back to the host for AP accumulation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,6 +29,9 @@ def build_loss(cfg: dict):
     if name in ("fpvrcnn_loss", "ciassd_loss"):
         from coalign_tpu.loss.fpvrcnn_loss import build_fpvrcnn_loss
         return build_fpvrcnn_loss(args)
+    if name in ("camera_loss", "lss_loss"):
+        from coalign_tpu.loss.depth_loss import build_camera_loss
+        return build_camera_loss(args)
     if name == "pixor_loss":
         from coalign_tpu.loss.pixor_loss import build_pixor_loss
         return build_pixor_loss(args)

@@ -58,11 +58,7 @@ class CamEncoder(nn.Module):
         head = nn.Conv(self.depth_bins + self.cam_channels, (1, 1))(x)
         depth_logits = head[..., :self.depth_bins]
         context = head[..., self.depth_bins:]
-        depth = jax.nn.softmax(depth_logits, axis=-1)
-        # outer product: (fH, fW, D) x (fH, fW, C) -> (D, fH, fW, C)
-        feats = (depth[..., None] * context[..., None, :])
-        feats = jnp.moveaxis(feats, -2, -4)
-        return feats, depth_logits
+        return context, depth_logits
 
 
 class BevEncode(nn.Module):
@@ -143,7 +139,11 @@ class _LSSBase(nn.Module):
         )
 
     def _lift_splat(self, image_inputs, train):
-        """(F=B*L agent frames) x N cams -> (F, ny, nx, nz*C) BEV."""
+        """(F=B*L agent frames) x N cams -> (F, ny, nx, nz*C) BEV.
+
+        With ``use_gt_depth`` and a ``depth_map`` input, the learned depth
+        distribution is replaced by the one-hot of the binned gt depth
+        (ref lss_submodule.py:51-69 use_gt_depth / get_gt_depth_dist)."""
         spec = self.spec
         imgs = image_inputs["imgs"]
         lead = imgs.shape[:-3]  # (B, L, N) or (F, N)
@@ -151,9 +151,25 @@ class _LSSBase(nn.Module):
         n = lead[-1]
         imgs = imgs.reshape((f * n,) + imgs.shape[-3:])
         cam_c = self.args.get("img_features", 64)
-        feats, depth_logits = CamEncoder(
+        context, depth_logits = CamEncoder(
             depth_bins=spec.depth_bins, cam_channels=cam_c)(imgs,
                                                             train=train)
+        if self.args.get("use_gt_depth") and "depth_map" in image_inputs:
+            from coalign_tpu.ops.lss import bin_depths
+
+            dm = image_inputs["depth_map"].reshape(
+                (f * n,) + image_inputs["depth_map"].shape[-2:])
+            fh_, fw_ = spec.feat_hw
+            ds_ = spec.downsample
+            dm = dm[:, ::ds_, ::ds_][:, :fh_, :fw_]
+            idx = bin_depths(dm, spec.mode, spec.ddiscr[0],
+                             spec.ddiscr[1], spec.depth_bins)
+            depth = jax.nn.one_hot(idx, spec.depth_bins, axis=-1)
+        else:
+            depth = jax.nn.softmax(depth_logits, axis=-1)
+        # outer product: (fH, fW, D) x (fH, fW, C) -> (D, fH, fW, C)
+        feats = jnp.moveaxis(depth[..., None] * context[..., None, :],
+                             -2, -4)
         d, fh, fw, c = feats.shape[1:]
         feats = feats.reshape(f, n, d, fh, fw, c)
 

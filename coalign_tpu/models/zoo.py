@@ -20,7 +20,7 @@ optionally dir_preds (..., A*bins). Single-agent heads for
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

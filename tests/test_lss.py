@@ -157,6 +157,35 @@ def test_camera_batcher_from_disk(tmp_path):
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
 
 
+def test_depth_supervision_and_gt_depth():
+    from coalign_tpu.loss.depth_loss import depth_supervision_loss
+
+    rng = np.random.default_rng(0)
+    f, n = 1, 2
+    fh, fw = _spec().feat_hw
+    d = _spec().depth_bins
+    # perfect logits at the gt bins -> near-zero CE; uniform -> log(D)
+    depth_map = np.full((f, n, 64, 96), 5.0, np.float32)  # bin 3 (UD 2..10)
+    logits = np.full((f, n, fh, fw, d), -20.0, np.float32)
+    logits[..., 3] = 20.0
+    lo = float(depth_supervision_loss(
+        jnp.asarray(logits), jnp.asarray(depth_map), (2, 10, 8), "UD"))
+    assert lo < 1e-3
+    uni = float(depth_supervision_loss(
+        jnp.zeros_like(jnp.asarray(logits)), jnp.asarray(depth_map),
+        (2, 10, 8), "UD"))
+    assert abs(uni - np.log(d)) < 1e-3
+
+    # gt-depth one-hot path runs end to end
+    model = build_model({"core_method": "lift_splat_shoot",
+                         "args": _args({"use_gt_depth": True})})
+    batch = _camera_batch(b=1, l=1, n=2)
+    batch["image_inputs"]["depth_map"] = jnp.full((1, 1, 2, 64, 96), 5.0)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
 def test_lss_intermediate_forward_ms_and_ss():
     for method in ("att_ms", "att"):
         model = build_model({
