@@ -109,10 +109,18 @@ def _v2xvit(args, dim):
     return V2XViTFusion.from_yaml(args["v2xvit"], dim)
 
 
+def _deform(args, dim):
+    from coalign_tpu.models.fuse.deform import DeformableFusion
+    return DeformableFusion(
+        feature_dim=dim,
+        num_points=args.get("deform", {}).get("num_points", 4))
+
+
 _FUSIONS = {
     "max": lambda args, dim: MaxFusion(),
     "mean": lambda args, dim: MeanFusion(),
     "att": lambda args, dim: AttFusion(dim),
+    "deform": _deform,
     "disconet": _disconet,
     "v2vnet": _v2vnet,
     "when2comm": _when2comm,

@@ -212,6 +212,32 @@ class CoAlign(PointPillarBaselineMultiscale):
     """Alias (ref point_pillar_coalign.py:9)."""
 
 
+@register_model("point_pillar_intermediate")
+class PointPillarIntermediate(PointPillarBaseline):
+    """OpenCOOD's original attentive intermediate fusion — the baseline
+    with self-attention fusion (ref point_pillar_intermediate.py:15)."""
+
+    @classmethod
+    def from_config(cls, args: dict):
+        args = dict(args)
+        args.setdefault("fusion_method", "att")
+        return cls(args=args)
+
+
+@register_model("point_pillar_deform_transformer")
+class PointPillarDeformTransformer(PointPillarBaseline):
+    """Deformable-attention fusion (ref point_pillar_deform_transformer.py
+    :20, sub_modules/ms_deform_attn.py — the reference needs an external
+    CUDA MSDA extension; here deformable sampling is bilinear gathers in
+    XLA, see fuse/deform.py)."""
+
+    @classmethod
+    def from_config(cls, args: dict):
+        args = dict(args)
+        args.setdefault("fusion_method", "deform")
+        return cls(args=args)
+
+
 @register_model("point_pillar_where2comm")
 class PointPillarWhere2comm(_CollaborativeBase):
     """Where2comm: per-agent confidence -> sparse transmission masks ->

@@ -138,3 +138,41 @@ def test_v2xvit_nondivisible_window(rng):
     out = module.apply(variables, feats, aff, mask)
     assert out.shape == (2, 10, 14, 8)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_deformable_fusion_and_aliases():
+    """Deformable-attention fusion (ref needs a CUDA ext; pure XLA here) +
+    the point_pillar_intermediate / deform_transformer aliases."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
+    from coalign_tpu.models import build_model
+
+    lr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    args = {
+        "voxel_size": [0.4, 0.4, 4.0], "lidar_range": lr,
+        "anchor_number": 2,
+        "pillar_vfe": {"use_norm": True, "with_distance": False,
+                       "use_absolute_xyz": True, "num_filters": [32]},
+        "point_pillar_scatter": {"num_features": 32},
+        "base_bev_backbone": {"layer_nums": [2, 2], "layer_strides": [2, 2],
+                              "num_filters": [32, 64],
+                              "upsample_strides": [1, 2],
+                              "num_upsample_filter": [32, 32],
+                              "resnet": False},
+        "att": {"feat_dim": 64},
+    }
+    ds = SyntheticScenes(num_frames=1, num_agents=2, num_objects=3,
+                         lidar_range=lr, points_per_object=32,
+                         ground_points=64, seed=2)
+    b = IntermediateFusionBatcher(max_cav=2, max_points=512, max_objects=8,
+                                  lidar_range=lr)
+    batch = {k: jnp.asarray(v) for k, v in b.assemble([ds[0]]).items()}
+    for core in ("point_pillar_intermediate",
+                 "point_pillar_deform_transformer"):
+        model = build_model({"core_method": core, "args": dict(args)})
+        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(v, batch, train=False)
+        assert np.isfinite(np.asarray(out["cls_preds"])).all(), core
