@@ -46,18 +46,68 @@ def load_image(path, final_hw):
     return arr, post_rot, np.zeros(3, dtype=np.float32)
 
 
+def img_transform(img, resize: float, crop, flip: bool, final_hw):
+    """Apply resize -> crop -> optional horizontal flip to a PIL image and
+    return (array, post_rot, post_trans) so that
+    ``aug_pix = post_rot @ orig_pix + post_trans`` — the mapping
+    get_geometry inverts (ref camera_utils.py:62 img_transform)."""
+    from PIL import Image
+
+    w0, h0 = img.size
+    h, w = final_hw
+    img = img.resize((int(round(w0 * resize)), int(round(h0 * resize))),
+                     Image.BILINEAR)
+    x0, y0 = crop
+    img = img.crop((x0, y0, x0 + w, y0 + h))
+    post_rot = np.eye(3, dtype=np.float32)
+    post_rot[0, 0] = resize
+    post_rot[1, 1] = resize
+    post_trans = np.array([-x0, -y0, 0.0], dtype=np.float32)
+    if flip:
+        # x' = (w-1) - x  =>  compose R=diag(-1,1), T=(w-1, 0) on the left
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        post_rot[0, :] = -post_rot[0, :]
+        post_trans[0] = (w - 1) - post_trans[0]
+    arr = np.asarray(img, dtype=np.float32)[..., :3] / 255.0
+    return arr, post_rot, post_trans
+
+
+class CameraAugmentor:
+    """Random resize/crop/flip sampling (ref camera_utils.py:33
+    sample_augmentation)."""
+
+    def __init__(self, final_dim, resize_lim=(1.0, 1.0), rand_flip=False,
+                 seed: int = 303):
+        self.final_dim = tuple(final_dim)
+        self.resize_lim = resize_lim
+        self.rand_flip = rand_flip
+        self.rng = np.random.default_rng(seed)
+
+    def sample(self, w0: int, h0: int):
+        h, w = self.final_dim
+        min_resize = max(w / w0, h / h0)
+        resize = max(float(self.rng.uniform(*self.resize_lim)), min_resize)
+        new_w, new_h = int(round(w0 * resize)), int(round(h0 * resize))
+        x0 = int(self.rng.integers(0, max(new_w - w, 0) + 1))
+        y0 = int(self.rng.integers(0, max(new_h - h, 0) + 1))
+        flip = bool(self.rand_flip and self.rng.integers(0, 2))
+        return resize, (x0, y0), flip
+
+
 class CameraBatcher:
     """Assemble ``image_inputs`` batches from canonical frames with camera
     data (data/opv2v.py ``load_camera=True``)."""
 
     def __init__(self, max_cav=5, num_cams=4, final_dim=(480, 640),
                  max_objects=100, lidar_range=(-48, -48, -3, 48, 48, 1),
-                 comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303):
+                 comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303,
+                 augmentor: "CameraAugmentor | None" = None):
         from coalign_tpu.data.batch import IntermediateFusionBatcher
 
         self.max_cav = max_cav
         self.num_cams = num_cams
         self.final_dim = tuple(final_dim)
+        self.augmentor = augmentor
         # reuse the lidar batcher for poses / gt / pairwise transforms
         self.base = IntermediateFusionBatcher(
             max_cav=max_cav, max_points=1, max_objects=max_objects,
@@ -100,7 +150,15 @@ class CameraBatcher:
                     trans[bi, ai, ci] = ext[:3, 3]
                     intrins[bi, ai, ci] = cam["intrinsic"]
                     if ci < len(files):
-                        img, pr, pt = load_image(files[ci], self.final_dim)
+                        if self.augmentor is not None:
+                            from PIL import Image
+                            pil = Image.open(files[ci])
+                            rs, crop, flip = self.augmentor.sample(*pil.size)
+                            img, pr, pt = img_transform(
+                                pil, rs, crop, flip, self.final_dim)
+                        else:
+                            img, pr, pt = load_image(files[ci],
+                                                     self.final_dim)
                         imgs[bi, ai, ci] = img
                         post_rots[bi, ai, ci] = pr
                         post_trans[bi, ai, ci] = pt
