@@ -120,9 +120,30 @@ def make_late_infer_fn(model, anchors, postprocess_cfg: dict,
     return infer
 
 
+def dump_detections_npy(dets: dict, batch: dict, out_dir: str, idx: int):
+    """Persist one batch's detections + gt for offline visualization
+    (ref inference_utils.py:176 save npy files)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, f"{idx:05d}_pred_corners.npy"),
+            np.asarray(dets["corners3d"]))
+    np.save(os.path.join(out_dir, f"{idx:05d}_pred_scores.npy"),
+            np.asarray(dets["scores"]))
+    np.save(os.path.join(out_dir, f"{idx:05d}_pred_mask.npy"),
+            np.asarray(dets["mask"]))
+    np.save(os.path.join(out_dir, f"{idx:05d}_gt_boxes.npy"),
+            np.asarray(batch["gt_boxes"]))
+    np.save(os.path.join(out_dir, f"{idx:05d}_gt_mask.npy"),
+            np.asarray(batch["gt_mask"]))
+    return out_dir
+
+
 def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
              batch_size: int = 1, max_frames: int | None = None,
-             fusion_method: str = "intermediate"):
+             fusion_method: str = "intermediate", npy_dir: str = None,
+             vis_dir: str = None, vis_interval: int = 40,
+             lidar_range=None):
     """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts).
 
     fusion_method dispatch mirrors ref tools/inference.py:40-227:
@@ -137,10 +158,27 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
         infer = make_infer_fn(model, anchors, postprocess_cfg)
     stat = E.new_result_stat()
     frames = 0
-    for batch in batcher.batches(dataset, batch_size, shuffle=False,
-                                 drop_last=False):
+    for bidx, batch in enumerate(batcher.batches(dataset, batch_size,
+                                                 shuffle=False,
+                                                 drop_last=False)):
         dets = infer(variables, {k: jnp.asarray(v) for k, v in batch.items()})
         dets = jax.tree_util.tree_map(np.asarray, dets)
+        if npy_dir:
+            dump_detections_npy(dets, batch, npy_dir, bidx)
+        if vis_dir and bidx % max(vis_interval // batch_size, 1) == 0:
+            import os
+
+            from coalign_tpu.visualization import visualize
+
+            os.makedirs(vis_dir, exist_ok=True)
+            gt0 = batch["gt_boxes"][0][batch["gt_mask"][0]]
+            gtc = np.asarray(B.boxes_to_corners_3d(gt0, "hwl"))
+            pts = (batch["points"][0, 0][batch["point_mask"][0, 0]]
+                   if "points" in batch else np.zeros((0, 3)))
+            visualize(dets["corners3d"][0][dets["mask"][0]], gtc, pts,
+                      lidar_range or postprocess_cfg["gt_range"],
+                      os.path.join(vis_dir, f"bev_{bidx:05d}.png"),
+                      method="bev")
         for bi in range(batch["gt_boxes"].shape[0]):
             keep = dets["mask"][bi]
             det_corners = dets["corners3d"][bi][keep]

@@ -77,11 +77,22 @@ def cmd_train(opt):
     def log(m):
         print(json.dumps(m))
 
+    val_base = None
+    if params.get("validate_dir") and os.path.exists(
+            str(params["validate_dir"])):
+        try:
+            from coalign_tpu.data import build_dataset
+            val_base, _ = build_dataset(
+                dict(params, root_dir=params["validate_dir"]), train=False)
+        except Exception:
+            val_base = None  # missing/partial validation split
+
     state, history = train_epochs(
         model, loss_fn, spec, state, batcher, base,
         epochs=opt.epochs or tp["epoches"], batch_size=tp["batch_size"],
         ckpt_dir=model_dir, save_freq=tp.get("save_freq", 0), mesh=mesh,
-        callback=log)
+        callback=log, val_dataset=val_base,
+        eval_freq=tp.get("eval_freq", 0))
     path = save_checkpoint(state, model_dir, step=len(history))
     print(f"saved {path}")
 

@@ -85,10 +85,13 @@ def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def save_checkpoint(state: TrainState, ckpt_dir: str, step: int):
+def save_checkpoint(state: TrainState, ckpt_dir: str, step=0):
+    """step: int for periodic snapshots; the string 'bestval' mirrors the
+    reference's net_epoch_bestval_at%d.pth slot (ref train.py:153-168)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    name = step if isinstance(step, str) else f"step_{step}"
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, {"params": state.params,
                       "batch_stats": state.batch_stats}, force=True)
@@ -106,16 +109,45 @@ def load_checkpoint(path: str, state: TrainState) -> TrainState:
                          batch_stats=restored["batch_stats"])
 
 
+def validate(model, loss_fn, anchor_spec, state, batcher, dataset,
+             batch_size: int, max_batches: int | None = None):
+    """Mean validation loss (ref train.py:129-150 validation pass)."""
+    labels_fn = jax.vmap(partial(assign_targets, spec=anchor_spec))
+
+    @jax.jit
+    def val_loss(params, batch_stats, batch):
+        labels = labels_fn(batch["gt_boxes"], batch["gt_mask"])
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch, train=False)
+        total, _ = loss_fn(out, labels)
+        return total
+
+    losses = []
+    for i, batch in enumerate(batcher.batches(dataset, batch_size,
+                                              shuffle=False,
+                                              drop_last=False)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses.append(float(val_loss(state.params, state.batch_stats,
+                                     batch)))
+        if max_batches and i + 1 >= max_batches:
+            break
+    return sum(losses) / max(len(losses), 1)
+
+
 def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
                  *, epochs: int, batch_size: int, log_every: int = 10,
                  ckpt_dir: str | None = None, save_freq: int = 0,
-                 mesh=None, callback=None):
-    """Simple epoch loop (ref train.py:102-171 without the DDP scaffolding)."""
+                 mesh=None, callback=None, val_dataset=None,
+                 eval_freq: int = 0):
+    """Epoch loop with periodic validation + bestval checkpoint
+    (ref train.py:102-171: save_freq snapshots, eval_freq validation,
+    bestval tracking at :153-168; DDP scaffolding replaced by the mesh)."""
     from coalign_tpu.parallel.mesh import shard_batch
 
     step_fn = make_train_step(model, loss_fn, anchor_spec)
     history = []
     step = 0
+    best_val = float("inf")
     for epoch in range(epochs):
         t0 = time.time()
         for batch in batcher.batches(dataset, batch_size):
@@ -130,6 +162,16 @@ def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
                 history.append(m)
                 if callback:
                     callback(m)
+        if (val_dataset is not None and eval_freq
+                and (epoch + 1) % eval_freq == 0):
+            vl = validate(model, loss_fn, anchor_spec, state, batcher,
+                          val_dataset, batch_size)
+            history.append({"epoch": epoch, "step": step, "val_loss": vl})
+            if callback:
+                callback(history[-1])
+            if vl < best_val and ckpt_dir:
+                best_val = vl
+                save_checkpoint(state, ckpt_dir, step="bestval")
         if ckpt_dir and save_freq and (epoch + 1) % save_freq == 0:
             save_checkpoint(state, ckpt_dir, step)
         _ = time.time() - t0

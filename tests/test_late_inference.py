@@ -74,3 +74,36 @@ def test_late_fusion_eval_beats_no_fusion():
     # that the late path runs all agents and stays in the same ballpark
     assert res_late["ap30"] >= res_no["ap30"] - 0.05
     assert res_late["ap30"] > 0.05  # the oracle scene must be learnable
+
+
+def test_evaluate_dumps_npy_and_vis(tmp_path):
+    """npy dump + BEV visualization hooks of the eval loop
+    (ref inference_utils.py:176 + inference.py:199-223)."""
+    import os
+
+    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
+
+    ds = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                         lidar_range=LIDAR_RANGE, points_per_object=32,
+                         ground_points=64, seed=3)
+    batcher = IntermediateFusionBatcher(max_cav=2, max_points=1024,
+                                        max_objects=8,
+                                        lidar_range=LIDAR_RANGE)
+    model = build_model({"core_method": "point_pillar_baseline_multiscale",
+                         "args": dict(ARGS, fusion_method="att",
+                                      att={"feat_dim": [32, 64]})})
+    batch = {k: jax.numpy.asarray(v)
+             for k, v in batcher.assemble([ds[0]]).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    anchor_args = {"W": 64, "H": 64, "l": 3.9, "w": 1.6, "h": 1.56,
+                   "r": [0, 90], "vw": 0.4, "vh": 0.4, "feature_stride": 2,
+                   "cav_lidar_range": LIDAR_RANGE}
+    spec = make_anchor_spec(anchor_args, {"pos_threshold": 0.3,
+                                          "neg_threshold": 0.2}, "hwl")
+    npy = str(tmp_path / "npy")
+    vis = str(tmp_path / "vis")
+    evaluate(model, variables, batcher, ds, spec.anchors, POST,
+             batch_size=1, npy_dir=npy, vis_dir=vis, vis_interval=1)
+    assert os.path.exists(os.path.join(npy, "00000_pred_corners.npy"))
+    assert os.path.exists(os.path.join(npy, "00001_gt_boxes.npy"))
+    assert os.path.exists(os.path.join(vis, "bev_00000.png"))
