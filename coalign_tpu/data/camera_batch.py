@@ -150,15 +150,36 @@ class CameraBatcher:
                     trans[bi, ai, ci] = ext[:3, 3]
                     intrins[bi, ai, ci] = cam["intrinsic"]
                     if ci < len(files):
+                        from PIL import Image
+
+                        # hdf5 fast path (tools/img2hdf5.py pack_root;
+                        # ref opv2v_basedataset.py:212 "hdf5 is faster")
+                        if ci == 0:
+                            import os
+
+                            from coalign_tpu.tools.img2hdf5 import \
+                                read_frame_hdf5
+                            d = os.path.dirname(files[0])
+                            ts = os.path.basename(files[0]).split("_")[0]
+                            self._hdf5_cache = read_frame_hdf5(d, ts, n)
+                        cached = getattr(self, "_hdf5_cache", None)
+                        pil = (Image.fromarray(cached[ci])
+                               if cached and ci < len(cached)
+                               else Image.open(files[ci]))
                         if self.augmentor is not None:
-                            from PIL import Image
-                            pil = Image.open(files[ci])
                             rs, crop, flip = self.augmentor.sample(*pil.size)
                             img, pr, pt = img_transform(
                                 pil, rs, crop, flip, self.final_dim)
                         else:
-                            img, pr, pt = load_image(files[ci],
-                                                     self.final_dim)
+                            h_, w_ = self.final_dim
+                            arr = np.asarray(
+                                pil.resize((w_, h_), Image.BILINEAR),
+                                dtype=np.float32)[..., :3] / 255.0
+                            img = arr
+                            pr = np.eye(3, dtype=np.float32)
+                            pr[0, 0] = w_ / pil.size[0]
+                            pr[1, 1] = h_ / pil.size[1]
+                            pt = np.zeros(3, dtype=np.float32)
                         imgs[bi, ai, ci] = img
                         post_rots[bi, ai, ci] = pr
                         post_trans[bi, ai, ci] = pt

@@ -225,3 +225,28 @@ class NaiveCompressor(nn.Module):
         x = ConvBNReLU(self.input_dim, 3, 1, 1)(x, train=train, mask=mask)
         x = ConvBNReLU(self.input_dim, 3, 1, 1)(x, train=train, mask=mask)
         return x
+
+
+class AutoEncoder(nn.Module):
+    """Deeper spatial+channel compressor (ref auto_encoder.py:5): two
+    stride-2 conv stages down (channel bottleneck C/ratio), mirrored
+    transposed convs back up — a stronger bandwidth model than
+    NaiveCompressor's channel-only bottleneck."""
+
+    feature_dim: int
+    ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        c = self.feature_dim
+        h, w = x.shape[1:3]
+        y = ConvBNReLU(c // self.ratio, 3, 2, 1)(x, train=train, mask=mask)
+        y = ConvBNReLU(c // self.ratio, 3, 2, 1)(y, train=train, mask=mask)
+        y = nn.ConvTranspose(c // self.ratio, (3, 3), strides=(2, 2),
+                             use_bias=False)(y)
+        y = MaskedBatchNorm()(y, mask=mask, train=train)
+        y = nn.relu(y)
+        y = nn.ConvTranspose(c, (3, 3), strides=(2, 2), use_bias=False)(y)
+        y = MaskedBatchNorm()(y, mask=mask, train=train)
+        y = nn.relu(y)
+        return y[:, :h, :w]

@@ -60,3 +60,19 @@ def count_params(params: dict) -> int:
 
     return int(sum(np.prod(v.shape) for v in flatten_params(params).values()
                    if hasattr(v, "shape")))
+
+
+def cleanup_checkpoints(ckpt_dir: str, keep: int = 3) -> list:
+    """Delete all but the newest ``keep`` step_* checkpoints (the bestval
+    slot is always kept) — ref utils/cleanup_utils.py. Returns removed."""
+    import os
+    import shutil
+
+    steps = sorted(
+        (d for d in os.listdir(ckpt_dir) if d.startswith("step_")),
+        key=lambda d: int(d.split("_")[1]))
+    removed = []
+    for d in steps[:-keep] if keep else steps:
+        shutil.rmtree(os.path.join(ckpt_dir, d))
+        removed.append(d)
+    return removed

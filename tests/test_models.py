@@ -128,3 +128,33 @@ def test_where2comm_forward(rng):
     assert out["cls_preds_single"].shape == (6, 16, 16, 2)
     assert np.isfinite(float(out["comm_rate"]))
     assert 0.0 <= float(out["comm_rate"]) <= 1.0
+
+
+def test_auto_encoder_compressor():
+    """Deeper AutoEncoder bandwidth model (ref auto_encoder.py:5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coalign_tpu.models.layers import AutoEncoder
+
+    m = AutoEncoder(feature_dim=64, ratio=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 24, 40, 64)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(v, x, train=False)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cleanup_checkpoints(tmp_path):
+    import os
+
+    from coalign_tpu.utils.model_utils import cleanup_checkpoints
+
+    for s in (10, 20, 30, 40):
+        os.makedirs(tmp_path / f"step_{s}")
+    os.makedirs(tmp_path / "bestval")
+    removed = cleanup_checkpoints(str(tmp_path), keep=2)
+    assert removed == ["step_10", "step_20"]
+    assert sorted(os.listdir(tmp_path)) == ["bestval", "step_30", "step_40"]
