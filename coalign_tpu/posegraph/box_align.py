@@ -112,9 +112,13 @@ def box_alignment_relative_sample(box_poses_agent, box_mask, uncertainty,
     l, k, _ = box_poses_agent.shape
     m = l * k
 
-    # ---- agent poses as SE(2) (x, y, yaw-rad)
+    # ---- agent poses as SE(2) (x, y, yaw-rad), RECENTERED at the ego:
+    # world coordinates are hundreds of meters; solving the normal
+    # equations around the origin keeps f32 conditioning healthy
+    ego_xy = noisy_pose[0, :2]
     agent_se2 = jnp.stack(
-        [noisy_pose[:, 0], noisy_pose[:, 1], jnp.deg2rad(noisy_pose[:, 4])],
+        [noisy_pose[:, 0] - ego_xy[0], noisy_pose[:, 1] - ego_xy[1],
+         jnp.deg2rad(noisy_pose[:, 4])],
         axis=-1)  # (L, 3)
 
     # ---- boxes to world
@@ -198,19 +202,26 @@ def box_alignment_relative_sample(box_poses_agent, box_mask, uncertainty,
     n_u = (l + m) * 3
     x0 = jnp.zeros((n_u,))
 
+    hi = jax.lax.Precision.HIGHEST
+
     def gn_step(_, x):
         r = residuals(x)
         jmat = jax.jacfwd(residuals)(x)  # (3M, n_u)
-        h = jmat.T @ jmat + cfg.damping * jnp.eye(n_u)
-        g = jmat.T @ r
+        # TPU default matmul precision is bf16 — fatal for normal
+        # equations (NaN poses); pin full f32 (see utils/transforms.py)
+        h = (jnp.matmul(jmat.T, jmat, precision=hi)
+             + cfg.damping * jnp.eye(n_u))
+        g = jnp.matmul(jmat.T, r, precision=hi)
         dx = -jnp.linalg.solve(h, g)
+        # guard: a diverged/singular solve must not poison the poses
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return x + dx
 
     x_final = jax.lax.fori_loop(0, cfg.iterations, gn_step, x0)
     agents_final, _ = unpack(x_final)
 
     refined = jnp.stack(
-        [agents_final[:, 0], agents_final[:, 1],
+        [agents_final[:, 0] + ego_xy[0], agents_final[:, 1] + ego_xy[1],
          jnp.rad2deg(limit_period(agents_final[:, 2], 0.5, 2 * np.pi))],
         axis=-1)
     noisy_xyyaw = jnp.stack(
