@@ -65,7 +65,9 @@ class PointPillarUncertaintyLoss(PointPillarLoss):
         u = self.unc
         unc_preds = outputs[f"unc_preds{suffix}"]
         b = unc_preds.shape[0]
-        sm = unc_preds.reshape(b, -1, u.dim)
+        # clamp log sigma^2: unbounded confidence drives kappa = exp(-s)
+        # to overflow (NaN loss) once the detector overfits
+        sm = jnp.clip(unc_preds.reshape(b, -1, u.dim), -7.0, 7.0)
         reg_p = outputs[f"reg_preds{suffix}"].reshape(b, -1, 7)
         reg_t = targets["targets"].reshape(b, -1, 7)
         pos = targets["pos_equal_one"].reshape(b, -1, 1)
