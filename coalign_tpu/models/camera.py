@@ -76,13 +76,22 @@ class BevEncode(nn.Module):
     def __call__(self, x, affine=None, agent_mask=None,
                  train: bool = False):
         out_ch = self.args.get("bev_out_channels", 128)
-        method = self.args.get("fusion_args", {}).get("core_method", "att")
-        method = "max" if "max" in method else "att"
+        fusion_args = self.args.get("fusion_args", {})
+        # core_method is e.g. "att_ms" / "max_ss" / "v2vnet" / "v2xvit"
+        # (ref lss_coalign_fusion.yaml / lss_v2vnet_fusion.yaml): strip the
+        # scale suffix and dispatch through the shared fusion registry so
+        # the camera branch supports the same fusion zoo as lidar
+        # (ref lss_submodule.py:286/:357 only hardcodes max/att; the v2vnet/
+        # v2xvit camera configs route through the same BevEncode*Fusion).
+        method = fusion_args.get("core_method", "att")
+        for suf in ("_ms", "_ss"):
+            method = method.removesuffix(suf)
+        sub_args = fusion_args.get("args", fusion_args)
 
         def fuse(feat):
             b, l = agent_mask.shape
             h, w, c = feat.shape[1:]
-            net = build_fusion(method, self.args, c)
+            net = build_fusion(method, sub_args, c)
             return net(feat.reshape(b, l, h, w, c), affine, agent_mask,
                        train=train)
 

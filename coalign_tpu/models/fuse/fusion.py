@@ -77,15 +77,16 @@ class AttFusion(nn.Module):
 def _v2vnet(args, dim):
     from coalign_tpu.models.fuse.graph_fusion import V2VNetFusion
     sub = args.get("v2vnet", args.get("v2v_fusion", {}))
+    # yaml forms: 3 | [3] | [[3, 3]] (ref conv_gru kernel_size nesting)
+    ks = sub.get("conv_gru", {}).get("kernel_size", 3)
+    while isinstance(ks, (list, tuple)):
+        ks = ks[0]
     return V2VNetFusion(
         in_channels=sub.get("in_channels", dim),
         num_iteration=sub.get("num_iteration", 2),
         agg_operator=sub.get("agg_operator", "avg"),
         gru_flag=sub.get("gru_flag", True),
-        kernel_size=(sub.get("conv_gru", {}).get("kernel_size", [3])[0]
-                     if isinstance(sub.get("conv_gru", {}).get("kernel_size", 3),
-                                   (list, tuple))
-                     else sub.get("conv_gru", {}).get("kernel_size", 3)),
+        kernel_size=int(ks),
     )
 
 

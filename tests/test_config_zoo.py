@@ -20,7 +20,9 @@ ALL_YAMLS = sorted(glob.glob(os.path.join(HYPES_DIR, "**", "*.yaml"),
 
 
 def test_zoo_is_populated():
-    assert len(ALL_YAMLS) >= 20
+    # full reference coverage: 64+ experiment yamls across 4 datasets
+    # (ref opencood/hypes_yaml/{opv2v,dairv2x,v2xsim}/ + v2xset)
+    assert len(ALL_YAMLS) >= 70
 
 
 @pytest.mark.parametrize("path", ALL_YAMLS,
@@ -32,7 +34,8 @@ def test_config_builds(path):
     loss = build_loss(params["loss"])
     assert loss is not None
     # derived anchor args must be filled by the parser
-    if params["postprocess"].get("core_method") == "VoxelPostprocessor":
+    if params["postprocess"].get("core_method") in (
+            "VoxelPostprocessor", "UncertaintyVoxelPostprocessor"):
         aa = params["postprocess"]["anchor_args"]
         assert "W" in aa and "H" in aa, path
         from coalign_tpu.postprocess.anchors import make_anchor_spec

@@ -199,3 +199,37 @@ def test_lss_intermediate_forward_ms_and_ss():
         assert out["cls_preds"].shape == (1, 40, 40, 2)
         assert out["cls_preds_single"].shape == (2, 40, 40, 2)
         assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_lss_fusion_zoo_v2vnet_v2xvit_max():
+    """The camera branch dispatches through the shared fusion registry
+    (ref camera configs lss_v2vnet_fusion.yaml / lss_v2xvit.yaml use
+    v2vnet / v2xvit BEV fusion, not just max/att)."""
+    fusion_cases = {
+        "max": {"core_method": "max"},
+        "v2vnet": {"core_method": "v2vnet",
+                   "args": {"v2vnet": {"num_iteration": 1,
+                                       "in_channels": 64,
+                                       "agg_operator": "max",
+                                       "conv_gru": {"kernel_size": [[3, 3]]}}}},
+        "v2xvit": {"core_method": "v2xvit",
+                   "args": {"v2xvit": {"transformer": {"encoder": {
+                       "num_blocks": 1, "depth": 1,
+                       "cav_att_config": {"dim": 64, "heads": 4,
+                                          "dim_head": 16},
+                       "pwindow_att_config": {"dim": 64, "heads": [4, 2, 2],
+                                              "dim_head": [16, 32, 32],
+                                              "window_size": [2, 4, 8],
+                                              "fusion_method": "split_attn"},
+                       "feed_forward": {"mlp_dim": 64},
+                   }}}}},
+    }
+    for name, fargs in fusion_cases.items():
+        model = build_model({
+            "core_method": "lift_splat_shoot_intermediate",
+            "args": _args({"fusion_args": fargs})})
+        batch = _camera_batch(b=1, l=2, n=2)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(variables, batch, train=False)
+        assert out["cls_preds"].shape == (1, 40, 40, 2), name
+        assert np.isfinite(np.asarray(out["cls_preds"])).all(), name
