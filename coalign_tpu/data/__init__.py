@@ -15,8 +15,8 @@ def build_dataset(params: dict, train: bool = True):
     name = params["fusion"].get("dataset",
                                 params.get("dataset", "opv2v")).lower()
 
-    root = params["root_dir"] if train else params.get(
-        "validate_dir", params["root_dir"])
+    root = params["root_dir"] if train else (
+        params.get("validate_dir") or params["root_dir"])
     if name in ("opv2v", "v2xset"):
         from coalign_tpu.data.opv2v import (OPV2VBaseDataset,
                                             V2XSETBaseDataset)

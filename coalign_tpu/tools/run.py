@@ -137,6 +137,82 @@ def cmd_inference(opt):
     return res
 
 
+def cmd_precalc(opt):
+    """CoAlign stage-1 precompute (ref tools/pose_graph_pre_calc.py:36-150):
+    run a frozen per-agent uncertainty detector over the train/val/test
+    splits and dump a ``stage1_boxes.json`` per split (consumed online by
+    tools/stage1.correct_batch_poses, or offline like the reference's
+    intermediate_fusion_dataset.py:301-328 box_align hook)."""
+    import jax.numpy as jnp
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import build_dataset
+    from coalign_tpu.models import build_model
+    from coalign_tpu.postprocess.anchors import make_anchor_spec
+    from coalign_tpu.tools.stage1 import dump_stage1_json, make_stage1_fn
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   load_checkpoint)
+
+    params = load_yaml(opt.hypes_yaml)
+    pc = params["box_align_pre_calc"]
+    model = build_model({"core_method": pc["stage1_model"],
+                         "args": pc["stage1_model_config"]})
+    post = params["postprocess"]
+    spec = make_anchor_spec(post["anchor_args"], post["target_args"],
+                            post.get("order", "hwl"))
+    stage1 = make_stage1_fn(model, spec.anchors, postprocess_cfg(params),
+                            max_boxes=int(pc.get("max_boxes", 24)))
+
+    out_dir = opt.model_dir or pc.get("output_save_path", "precalc_out")
+    splits = [("train", params.get("root_dir")),
+              ("val", params.get("validate_dir")),
+              ("test", params.get("test_dir"))]
+    state = None
+    written = []
+    for split, root in splits:
+        if not root or not os.path.exists(str(root)):
+            continue
+        # build_dataset reads validate_dir when train=False: pin the split
+        base, batcher = build_dataset(
+            dict(params, root_dir=root, validate_dir=root), train=False)
+        if state is None:
+            batch0 = batcher.assemble([base[0]])
+            tx = build_optimizer(params.get(
+                "optimizer", {"core_method": "Adam", "lr": 1e-3}), None)
+            state = create_train_state(
+                model, {k: np.asarray(v) for k, v in batch0.items()}, tx)
+            ckpt = pc.get("stage1_model_path") or ""
+            if ckpt and os.path.exists(ckpt):
+                if os.path.isdir(ckpt) and not os.path.basename(
+                        ckpt).startswith("step_"):
+                    steps = sorted(d for d in os.listdir(ckpt)
+                                   if d.startswith("step_"))
+                    if steps:
+                        ckpt = os.path.join(ckpt, steps[-1])
+                state = load_checkpoint(ckpt, state)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        dets, ids = [], []
+        bs = int(pc.get("batch_size", 4))
+        for start in range(0, len(base), bs):
+            idxs = list(range(start, min(start + bs, len(base))))
+            batch = batcher.assemble([base[i] for i in idxs])
+            d = stage1(variables, {k: jnp.asarray(v)
+                                   for k, v in batch.items()})
+            dets.append({k: np.asarray(v) for k, v in d.items()})
+            ids.extend(idxs)
+        merged = {k: np.concatenate([d[k] for d in dets], axis=0)
+                  for k in dets[0]}
+        split_dir = os.path.join(out_dir, split)
+        os.makedirs(split_dir, exist_ok=True)
+        path = os.path.join(split_dir, "stage1_boxes.json")
+        dump_stage1_json(merged, ids, path)
+        written.append(path)
+        print(json.dumps({"split": split, "frames": len(ids),
+                          "json": path}))
+    return written
+
+
 def cmd_config_generate(opt):
     """Expand a yaml through its parser and re-dump
     (ref tools/config_generate.py:9-23)."""
@@ -151,7 +227,7 @@ def cmd_config_generate(opt):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "inference", "config_generate"):
+    for name in ("train", "inference", "config_generate", "precalc"):
         s = sub.add_parser(name)
         s.add_argument("-y", "--hypes_yaml", default=None)
         s.add_argument("--model_dir", default=None)
@@ -166,6 +242,8 @@ def main(argv=None):
         return cmd_train(opt)
     if opt.cmd == "inference":
         return cmd_inference(opt)
+    if opt.cmd == "precalc":
+        return cmd_precalc(opt)
     return cmd_config_generate(opt)
 
 

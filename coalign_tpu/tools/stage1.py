@@ -110,3 +110,44 @@ def dump_stage1_json(stage1_dets: dict, frame_ids, path: str):
         out[str(fid)] = agents
     with open(path, "w") as f:
         json.dump(out, f)
+
+
+def load_stage1_json(path: str):
+    """Load a ``stage1_boxes.json`` dump back into per-frame content
+    (the offline path: ref intermediate_fusion_dataset.py:301-328 reads the
+    precalc json per item before computing pairwise transforms)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def stage1_content_to_arrays(content, frame_ids, max_cav: int,
+                             max_boxes: int = 24):
+    """Per-frame json content -> padded (B, L, K, ...) stage-1 det arrays
+    accepted by :func:`correct_batch_poses`."""
+    b = len(frame_ids)
+    poses = np.zeros((b, max_cav, max_boxes, 3), np.float32)
+    masks = np.zeros((b, max_cav, max_boxes), bool)
+    uncs = np.zeros((b, max_cav, max_boxes, 3), np.float32)
+    for i, fid in enumerate(frame_ids):
+        agents = content.get(str(fid), [])
+        for a, rec in enumerate(agents[:max_cav]):
+            bp = np.asarray(rec.get("box_poses", []), np.float32)
+            un = np.asarray(rec.get("uncertainty", []), np.float32)
+            k = min(len(bp), max_boxes)
+            if k:
+                poses[i, a, :k] = bp[:k]
+                masks[i, a, :k] = True
+                if un.size:
+                    uncs[i, a, :k] = un[:k].reshape(len(un), -1)[:k, :3]
+    return {"box_poses": jnp.asarray(poses), "box_mask": jnp.asarray(masks),
+            "uncertainty": jnp.asarray(uncs)}
+
+
+def correct_batch_poses_from_json(batch: dict, content, frame_ids,
+                                  cfg: BoxAlignConfig = BoxAlignConfig(),
+                                  max_boxes: int = 24) -> dict:
+    """Offline CoAlign pass 2: pose-graph-correct a batch from a precalc
+    json (tools/run.py precalc), keyed by dataset frame index."""
+    max_cav = int(batch["agent_mask"].shape[1])
+    dets = stage1_content_to_arrays(content, frame_ids, max_cav, max_boxes)
+    return correct_batch_poses(batch, dets, cfg)

@@ -42,3 +42,56 @@ def test_canvas_3d_and_visualize(tmp_path):
     out3d = visualize(pred, gt, pts, [-40, -20, -3, 40, 20, 1],
                       str(tmp_path / "vis3d.png"), method="3d")
     assert np.asarray(Image.open(out3d)).shape[2] == 3
+
+
+def test_vis_data_sequence_tool(tmp_path):
+    """The sequence viewer renders gt+points PNGs from a fixture dataset
+    (ref visualization/vis_data_sequence_*.py)."""
+    import os
+
+    import yaml
+
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.vis_data_sequence import main
+
+    lr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=32,
+                             ground_points=64, seed=7)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+    cfg = {
+        "name": "vis_test",
+        "root_dir": root, "validate_dir": root, "test_dir": root,
+        "noise_setting": {"add_noise": False},
+        "train_params": {"batch_size": 1, "max_cav": 2},
+        "input_source": ["lidar"], "label_type": "lidar",
+        "comm_range": 70,
+        "fusion": {"core_method": "late", "dataset": "opv2v",
+                   "args": {"proj_first": False}},
+        "preprocess": {"core_method": "SpVoxelPreprocessor",
+                       "args": {"voxel_size": [0.4, 0.4, 4],
+                                "max_points_per_voxel": 16,
+                                "max_voxel_train": 2000,
+                                "max_voxel_test": 2000},
+                       "cav_lidar_range": lr},
+        "postprocess": {"core_method": "VoxelPostprocessor",
+                        "gt_range": lr,
+                        "anchor_args": {"cav_lidar_range": lr,
+                                        "l": 3.9, "w": 1.6, "h": 1.56,
+                                        "r": [0, 90], "feature_stride": 2,
+                                        "num": 2},
+                        "target_args": {"pos_threshold": 0.6,
+                                        "neg_threshold": 0.45,
+                                        "score_threshold": 0.2},
+                        "order": "hwl", "max_num": 16, "nms_thresh": 0.15},
+    }
+    path = str(tmp_path / "vis.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    written = main(["-y", path, "--out", str(tmp_path / "seq"),
+                    "--frames", "2"])
+    assert len(written) == 2
+    for png in written:
+        assert os.path.getsize(png) > 500
