@@ -1,0 +1,62 @@
+"""Host->device input pipeline: threaded batch prefetch.
+
+The reference hides CPU-side voxelization/label assembly inside 4 torch
+DataLoader worker processes (ref opencood/tools/train.py:42
+``num_workers=4``). Here batch assembly (numpy + the C++ data plane) runs
+in a background thread while the TPU executes the previous step, and the
+assembled arrays are moved to the device (optionally with a mesh sharding)
+ahead of time so the H2D copy also overlaps compute. Threads suffice:
+assembly is numpy/C++ code that releases the GIL, and the consumer spends
+its time blocked in device execution.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+_SENTINEL = object()
+
+
+def prefetch(iterator, size: int = 2, *, to_device: bool = True,
+             mesh=None, axis: str = "data"):
+    """Yield items from ``iterator``, assembled ``size`` steps ahead in a
+    background thread.
+
+    to_device: eagerly ``jax.device_put`` each dict-of-arrays batch
+    (with ``NamedSharding(mesh, P(axis))`` on the leading dim when a mesh
+    is given — the placement :func:`parallel.mesh.shard_batch` would do).
+    """
+    out_q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    errors: list[BaseException] = []
+
+    def place(item):
+        if not to_device or not isinstance(item, dict):
+            return item
+        import jax
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(mesh, PartitionSpec(axis))
+        return {k: jax.device_put(v, sharding) for k, v in item.items()}
+
+    def worker():
+        try:
+            for item in iterator:
+                out_q.put(place(item))
+        except BaseException as e:  # surfaced to the consumer below
+            errors.append(e)
+        finally:
+            out_q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="coalign-prefetch")
+    t.start()
+    while True:
+        item = out_q.get()
+        if item is _SENTINEL:
+            break
+        yield item
+    t.join()
+    if errors:
+        raise errors[0]

@@ -156,11 +156,15 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
             "no" if fusion_method == "single" else fusion_method)
     else:
         infer = make_infer_fn(model, anchors, postprocess_cfg)
+    from coalign_tpu.data.prefetch import prefetch
+
     stat = E.new_result_stat()
     frames = 0
-    for bidx, batch in enumerate(batcher.batches(dataset, batch_size,
-                                                 shuffle=False,
-                                                 drop_last=False)):
+    # keep batches host-side (gt matching below is numpy) but assemble the
+    # next frames while the device runs this one
+    for bidx, batch in enumerate(prefetch(
+            batcher.batches(dataset, batch_size, shuffle=False,
+                            drop_last=False), size=2, to_device=False)):
         dets = infer(variables, {k: jnp.asarray(v) for k, v in batch.items()})
         dets = jax.tree_util.tree_map(np.asarray, dets)
         if npy_dir:

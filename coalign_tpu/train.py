@@ -142,7 +142,7 @@ def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
     """Epoch loop with periodic validation + bestval checkpoint
     (ref train.py:102-171: save_freq snapshots, eval_freq validation,
     bestval tracking at :153-168; DDP scaffolding replaced by the mesh)."""
-    from coalign_tpu.parallel.mesh import shard_batch
+    from coalign_tpu.data.prefetch import prefetch
 
     step_fn = make_train_step(model, loss_fn, anchor_spec)
     history = []
@@ -150,10 +150,10 @@ def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
     best_val = float("inf")
     for epoch in range(epochs):
         t0 = time.time()
-        for batch in batcher.batches(dataset, batch_size):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+        # assemble + H2D copy of the NEXT batches overlap this step's
+        # device execution (ref train.py:42 num_workers=4 DataLoader)
+        for batch in prefetch(batcher.batches(dataset, batch_size),
+                              size=2, mesh=mesh):
             state, metrics = step_fn(state, batch)
             step += 1
             if step % log_every == 0:
