@@ -45,8 +45,14 @@ class DeformableFusion(nn.Module):
         # per (b, l) agent map: gather K samples per pixel
         fx_bl = jnp.moveaxis(fx, 3, 1)  # (B, L, H, W, K)
         fy_bl = jnp.moveaxis(fy, 3, 1)
-        sampled = jax.vmap(jax.vmap(_bilinear_gather))(
-            warped, fx_bl, fy_bl)       # (B, L, H, W, K, C)
+        # ONE flat batch dim (nested-vmap gathers are pathological on TPU,
+        # see ops/warp.py warp_agents_to_ego)
+        c = warped.shape[-1]
+        sampled = jax.vmap(_bilinear_gather)(
+            warped.reshape(b * l, h, w, c),
+            fx_bl.reshape(b * l, h, w, k),
+            fy_bl.reshape(b * l, h, w, k))
+        sampled = sampled.reshape(b, l, h, w, k, c)
 
         logits = jnp.where(agent_mask[:, None, None, :, None],
                            logits, -jnp.inf)

@@ -25,9 +25,14 @@ def warp_affine(src, affine, out_hw=None):
     """
     h, w, _ = src.shape
     oh, ow = out_hw or (h, w)
+    # coordinates ALWAYS in f32: pixel coords reach the grid width (e.g.
+    # 352/704) and bf16 only resolves integers up to 256 — computing these
+    # in a bf16 compute dtype quantizes the sample positions by 2 pixels
+    # on the right half of the map. Only the 4 tap weights are cast back.
+    affine = affine.astype(jnp.float32)
     # normalized output pixel centers, align_corners=False
-    ys = (2.0 * jnp.arange(oh, dtype=src.dtype) + 1.0) / oh - 1.0
-    xs = (2.0 * jnp.arange(ow, dtype=src.dtype) + 1.0) / ow - 1.0
+    ys = (2.0 * jnp.arange(oh, dtype=jnp.float32) + 1.0) / oh - 1.0
+    xs = (2.0 * jnp.arange(ow, dtype=jnp.float32) + 1.0) / ow - 1.0
     gx = affine[0, 0] * xs[None, :] + affine[0, 1] * ys[:, None] + affine[0, 2]
     gy = affine[1, 0] * xs[None, :] + affine[1, 1] * ys[:, None] + affine[1, 2]
     # normalized -> source pixel coords (align_corners=False unnormalize)
@@ -72,5 +77,12 @@ def warp_agents_to_ego(features, affines, agent_mask):
     agent_mask: (B, L) bool; invalid agents produce all-zero maps.
     Returns (B, L, H, W, C).
     """
-    warped = jax.vmap(jax.vmap(warp_affine))(features, affines)
+    b, l, h, w, c = features.shape
+    # ONE flat batch dim: a nested vmap here lowers the bilinear gather to
+    # a multi-batch-dim XLA gather that is catastrophically slow on TPU
+    # (measured 5.5 ms vs 0.02 ms for the same work at 100x352x64xL5 on a
+    # v5e — and some shapes fault the device); reshape instead.
+    warped = jax.vmap(warp_affine)(features.reshape(b * l, h, w, c),
+                                   affines.reshape(b * l, 2, 3))
+    warped = warped.reshape(b, l, h, w, c)
     return warped * agent_mask[..., None, None, None].astype(features.dtype)

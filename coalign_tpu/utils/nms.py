@@ -37,19 +37,32 @@ def nms_rotated(corners, scores, valid_mask, iou_threshold: float,
     sorted_valid = valid_mask[order]
 
     iou = rotated_iou_corners(sorted_corners, sorted_corners)  # (K, K)
-    suppress = iou > iou_threshold
+    # strictly-lower-triangular suppression: sup[j, i] == True when the
+    # higher-ranked j would kill i
+    idx = jnp.arange(k)
+    suppress = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def body(keep_so_far, row):
-        row_suppress, is_valid, idx = row
-        # suppressed if any higher-ranked kept box overlaps it
-        killed = jnp.any(keep_so_far & row_suppress & (jnp.arange(k) < idx))
-        keep = is_valid & ~killed
-        keep_so_far = keep_so_far.at[idx].set(keep)
-        return keep_so_far, keep
+    # Exact greedy NMS via the overlap-matrix fixpoint (the algorithm a
+    # K-step sequential lax.scan would compute, but in O(chain depth)
+    # parallel rounds — a 512-step scan costs milliseconds of dispatch on
+    # TPU, while each round here is one (K, K) masked matvec):
+    #   keep[i] = valid[i] and no kept higher-ranked j suppresses i.
+    # Iterating from keep = valid converges to the unique greedy fixpoint
+    # in at most the suppression-chain depth (typically < 8) rounds.
+    supf = suppress.astype(jnp.float32)
 
-    init = jnp.zeros((k,), dtype=bool)
-    _, keep_mask = jax.lax.scan(
-        body, init, (suppress, sorted_valid, jnp.arange(k)))
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def step(state):
+        keep, _, it = state
+        killed = (supf.T @ keep.astype(jnp.float32)) > 0.0
+        return sorted_valid & ~killed, keep, it + 1
+
+    keep0 = sorted_valid
+    keep_mask, _, _ = jax.lax.while_loop(
+        cond, step, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
 
     if max_keep is not None and max_keep < k:
         rank = jnp.cumsum(keep_mask) - 1

@@ -61,3 +61,25 @@ def test_physical_warp_roundtrip(rng):
     out_masked = np.asarray(W.warp_agents_to_ego(
         src[None], aff[None, 0], np.array([[True, False]])))[0]
     assert np.all(out_masked[1] == 0)
+
+
+def test_warp_bf16_wide_grid_coordinate_precision():
+    """Sampling coords must be f32 even for bf16 maps: bf16 only resolves
+    integers to 256, which would quantize x-coords on wide BEV grids
+    (W=352/704) by 2 pixels. Identity warp of a bf16 map must reproduce
+    the map exactly across the FULL width."""
+    import jax.numpy as jnp
+
+    h, w, c = 8, 352, 8
+    rng = np.random.default_rng(0)
+    src32 = rng.normal(size=(h, w, c)).astype(np.float32)
+    src16 = jnp.asarray(src32).astype(jnp.bfloat16)
+    # translation by ~1/3 pixel: every output is a genuine 2-tap blend
+    aff = jnp.asarray(np.array([[1.0, 0, 2.0 * 0.34 / w],
+                                [0, 1.0, 0]], np.float32))
+    out16 = np.asarray(W.warp_affine(src16, aff).astype(jnp.float32))
+    out32 = np.asarray(W.warp_affine(jnp.asarray(src32), aff))
+    # with bf16 coords the x >= 256 half samples pixels off by up to 2,
+    # an O(1) feature error; with f32 coords only bf16 value rounding
+    # remains (~1e-2)
+    assert np.abs(out16 - out32)[:, 256:].max() < 0.05
