@@ -77,6 +77,12 @@ def cmd_train(opt):
     def log(m):
         print(json.dumps(m))
 
+    # TensorBoard scalars next to the checkpoints (ref criterion.logging
+    # -> tensorboardX writer in tools/train.py)
+    from coalign_tpu.utils.tb_logging import make_tb_callback
+    log, tb_close = make_tb_callback(os.path.join(model_dir, "tb"),
+                                     inner=log)
+
     val_base = None
     if params.get("validate_dir") and os.path.exists(
             str(params["validate_dir"])):
@@ -93,6 +99,7 @@ def cmd_train(opt):
         ckpt_dir=model_dir, save_freq=tp.get("save_freq", 0), mesh=mesh,
         callback=log, val_dataset=val_base,
         eval_freq=tp.get("eval_freq", 0))
+    tb_close()
     path = save_checkpoint(state, model_dir, step=len(history))
     print(f"saved {path}")
 
