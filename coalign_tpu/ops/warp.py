@@ -42,7 +42,13 @@ def warp_affine(src, affine, out_hw=None):
 
 
 def _bilinear_gather(src, fx, fy):
-    """Zero-padded bilinear sampling of (H, W, C) at float coords (..., )."""
+    """Zero-padded bilinear sampling of (H, W, C) at float coords (..., ).
+
+    The two x-neighbors are PACKED into one 2C-wide row before gathering,
+    so the 4 bilinear taps become 2 row gathers of full-width (128-lane at
+    C=64) rows — on TPU the gather cost scales with gathered rows and
+    wastes half of every lane-row at C=64. Math identical to the naive
+    4-tap form (each tap masked to zero out of bounds)."""
     h, w, c = src.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -51,20 +57,31 @@ def _bilinear_gather(src, fx, fy):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = src.reshape(h * w, c)
+    # sp[y, p] for p in [0, w+1]: zero | src row | zero; pair[y, p] packs
+    # (sp[y, p], sp[y, p+1]) == (src[y, x0], src[y, x0+1]) at p = x0 + 1,
+    # covering the boundary taps (x0 == -1 / x0 == w-1) with zeros.
+    sp = jnp.pad(src, ((0, 0), (1, 1), (0, 0)))
+    pair = jnp.concatenate([sp[:, :-1], sp[:, 1:]], axis=-1)  # (h, w+1, 2c)
+    flat = pair.reshape(h * (w + 1), 2 * c)
+    p = jnp.clip(x0i + 1, 0, w)
 
-    def tap(yi, xi):
-        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = flat[idx.reshape(-1)].reshape(idx.shape + (c,))
-        return vals * inb[..., None].astype(src.dtype)
+    def tap2(yi):
+        """(..., 2c) = [src[yi, x0] | src[yi, x0+1]], zero when yi OOB."""
+        iny = (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * (w + 1) + p
+        vals = flat[idx.reshape(-1)].reshape(idx.shape + (2 * c,))
+        return vals * iny[..., None].astype(src.dtype)
 
-    w00 = ((1 - tx) * (1 - ty))[..., None].astype(src.dtype)
-    w01 = (tx * (1 - ty))[..., None].astype(src.dtype)
-    w10 = ((1 - tx) * ty)[..., None].astype(src.dtype)
-    w11 = (tx * ty)[..., None].astype(src.dtype)
-    return (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
-            + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
+    top = tap2(y0i)
+    bot = tap2(y0i + 1)
+    m0 = ((x0i >= 0) & (x0i < w))[..., None].astype(src.dtype)
+    m1 = ((x0i + 1 >= 0) & (x0i + 1 < w))[..., None].astype(src.dtype)
+    wx0 = (1 - tx)[..., None].astype(src.dtype) * m0
+    wx1 = tx[..., None].astype(src.dtype) * m1
+    ty_ = ty[..., None].astype(src.dtype)
+    top_v = top[..., :c] * wx0 + top[..., c:] * wx1
+    bot_v = bot[..., :c] * wx0 + bot[..., c:] * wx1
+    return top_v * (1 - ty_) + bot_v * ty_
 
 
 def warp_agents_to_ego(features, affines, agent_mask):

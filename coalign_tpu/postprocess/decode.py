@@ -40,6 +40,20 @@ def delta_to_boxes3d(deltas, anchors):
     return jnp.concatenate([xy, z, hwl, yaw], axis=-1)
 
 
+def delta_to_boxes3d_rows(d, anchor_rows):
+    """Row-aligned decode: d (..., 7) deltas against (..., 7) anchors.
+
+    Same math as :func:`delta_to_boxes3d` but for an already-selected set
+    of rows — the full-grid decode wastes work on 140k anchors when only
+    the top-k prefilter survives (ref voxel_postprocessor.py:404)."""
+    diag = jnp.sqrt(anchor_rows[..., 4] ** 2 + anchor_rows[..., 5] ** 2)
+    xy = d[..., 0:2] * diag[..., None] + anchor_rows[..., 0:2]
+    z = d[..., 2:3] * anchor_rows[..., 3:4] + anchor_rows[..., 2:3]
+    hwl = jnp.exp(d[..., 3:6]) * anchor_rows[..., 3:6]
+    yaw = d[..., 6:7] + anchor_rows[..., 6:7]
+    return jnp.concatenate([xy, z, hwl, yaw], axis=-1)
+
+
 def correct_direction(boxes7, dir_logits, dir_offset: float, num_bins: int):
     """Resolve heading ambiguity with the direction classifier.
 
@@ -77,11 +91,6 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
     h, w, a = cls_preds.shape
     k = h * w * a
     scores = jax.nn.sigmoid(cls_preds.reshape(k))
-    boxes7 = delta_to_boxes3d(reg_preds, anchors)  # (K, 7)
-
-    if dir_preds is not None:
-        dir_logits = dir_preds.reshape(k, num_bins)
-        boxes7 = correct_direction(boxes7, dir_logits, dir_offset, num_bins)
 
     if iou_preds is not None:
         # IoU-head rescoring: score *= ((iou+1)/2)^4 (ref :335-339)
@@ -90,12 +99,36 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
 
     valid = scores > score_threshold
 
-    # top-k prefilter keeps shapes small for the NMS IoU matrix
+    # top-k prefilter FIRST, then decode only the survivors: decoding the
+    # full grid spends exp/sin work on 140k anchors, and the subsequent
+    # row gathers of narrow (7-lane) arrays are slow on TPU — instead ONE
+    # packed gather pulls reg+dir+unc+anchor rows for the selected k
     prefilter_k = min(prefilter_k, k)
     sel_scores, sel_idx = jax.lax.top_k(jnp.where(valid, scores, -1.0),
                                         prefilter_k)
     sel_valid = sel_scores > 0
-    sel_boxes = boxes7[sel_idx]
+
+    parts = [reg_preds.reshape(k, 7)]
+    if dir_preds is not None:
+        parts.append(dir_preds.reshape(k, num_bins))
+    unc_dim = 0
+    if unc_preds is not None:
+        unc_dim = unc_preds.shape[-1] // a
+        parts.append(unc_preds.reshape(k, unc_dim))
+    parts.append(jnp.asarray(anchors).reshape(k, 7))
+    packed = jnp.concatenate(parts, axis=-1)
+    sel = packed[sel_idx]  # (P, 7 [+bins] [+unc] + 7)
+
+    sel_reg = sel[:, :7]
+    off = 7
+    sel_anchor = sel[:, -7:]
+    sel_boxes = delta_to_boxes3d_rows(sel_reg, sel_anchor)
+    if dir_preds is not None:
+        sel_dir = sel[:, off:off + num_bins]
+        off += num_bins
+        sel_boxes = correct_direction(sel_boxes, sel_dir, dir_offset,
+                                      num_bins)
+    sel_unc = sel[:, off:off + unc_dim] if unc_preds is not None else None
 
     corners = B.boxes_to_corners_3d(sel_boxes, "hwl")  # (P, 8, 3)
     corners = B.project_box3d(corners, transformation_matrix)
@@ -117,10 +150,8 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
         "scores": jnp.where(keep, ranked_scores, 0.0),
         "mask": keep,
     }
-    if unc_preds is not None:
+    if sel_unc is not None:
         # per-box log sigma^2 carried through selection + NMS ranking
         # (ref uncertainty_voxel_postprocessor.py post_process_stage1:31)
-        unc_dim = unc_preds.shape[-1] // a
-        unc = unc_preds.reshape(k, unc_dim)
-        out["uncertainty"] = unc[sel_idx][order][:max_keep] * keep[:, None]
+        out["uncertainty"] = sel_unc[order][:max_keep] * keep[:, None]
     return out
