@@ -222,6 +222,44 @@ def scatter_max_bev_sorted(point_feats, ids, valid, spec: PillarSpec):
     return canvas[:-1].reshape(spec.ny, spec.nx, -1)
 
 
+def scatter_max_bev_compact(point_feats, ids, valid, spec: PillarSpec):
+    """Sorted-ids canvas scatter in two small steps (device-trace driven:
+    the direct ``segment_max`` into the 140k-row canvas was the single
+    hottest op of the e2e program at OPV2V scale, ~1.7 ms + canvas-init
+    copies on a v5e).
+
+    1. dense-rank ``segment_max``: ids are sorted, so
+       ``rank = cumsum(segment_start) - 1`` renumbers the occupied pillars
+       0..M-1 and the max-reduce writes an (N, C) compact table instead of
+       the (ny*nx, C) canvas (5x fewer rows at 30k points / 140k cells);
+    2. one set-scatter of the compact rows at the per-rank pillar id —
+       unique AND ascending (ids sorted; all-invalid points share the
+       sentinel id), so XLA takes its fast unique/sorted scatter path.
+
+    Requires ids sorted (sort_points_by_pillar) and post-ReLU
+    (non-negative) features, like scatter_max_bev_sorted.
+    """
+    n, c = point_feats.shape
+    num_seg = spec.ny * spec.nx + 1
+    start = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1        # (N,) 0..M-1
+    feats = point_feats * valid[:, None]
+    compact = jax.ops.segment_max(feats, rank, num_segments=n,
+                                  indices_are_sorted=True)
+    compact = jnp.maximum(compact, 0.0)
+    # representative pillar id per rank (constant within a segment);
+    # ranks past M point at the last id -> duplicates, routed to the
+    # sentinel row below so uniqueness holds
+    seg_ids = jax.ops.segment_max(ids, rank, num_segments=n,
+                                  indices_are_sorted=True)
+    occupied = jnp.arange(n) < (rank[-1] + 1)
+    tgt = jnp.where(occupied, seg_ids, num_seg - 1 + jnp.arange(n))
+    canvas = jnp.zeros((num_seg + n, c), point_feats.dtype)
+    canvas = canvas.at[tgt].set(compact, unique_indices=True,
+                                indices_are_sorted=True)
+    return canvas[:num_seg - 1].reshape(spec.ny, spec.nx, -1)
+
+
 def pillar_count_bev(ids, valid, spec: PillarSpec):
     """(ny, nx) int32 point counts per pillar (useful for masks/debug)."""
     num_seg = spec.ny * spec.nx + 1

@@ -140,18 +140,23 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
 
     order, keep_mask = nms_rotated(corners[:, :4, :2], sel_scores, sel_valid,
                                    nms_threshold)
-    ranked_corners = corners[order][:max_keep]
-    ranked_scores = sel_scores[order][:max_keep]
-    ranked_boxes7 = sel_boxes[order][:max_keep]
+    # ONE ranked gather for all per-box outputs (several narrow row
+    # gathers cost ~0.5 ms each on TPU)
+    p = corners.shape[0]
+    ranked_parts = [corners.reshape(p, 24), sel_boxes,
+                    sel_scores[:, None]]
+    if sel_unc is not None:
+        ranked_parts.append(sel_unc)
+    ranked = jnp.concatenate(ranked_parts, axis=-1)[order][:max_keep]
     keep = keep_mask[:max_keep]
     out = {
-        "corners3d": ranked_corners * keep[:, None, None],
-        "boxes7": ranked_boxes7 * keep[:, None],
-        "scores": jnp.where(keep, ranked_scores, 0.0),
+        "corners3d": ranked[:, :24].reshape(-1, 8, 3) * keep[:, None, None],
+        "boxes7": ranked[:, 24:31] * keep[:, None],
+        "scores": jnp.where(keep, ranked[:, 31], 0.0),
         "mask": keep,
     }
     if sel_unc is not None:
         # per-box log sigma^2 carried through selection + NMS ranking
         # (ref uncertainty_voxel_postprocessor.py post_process_stage1:31)
-        out["uncertainty"] = sel_unc[order][:max_keep] * keep[:, None]
+        out["uncertainty"] = ranked[:, 32:32 + unc_dim] * keep[:, None]
     return out

@@ -76,3 +76,29 @@ def test_empty_frame():
     bev = np.asarray(P.scatter_max_bev(feats, ids, valid, SPEC))
     assert bev.shape == (SPEC.ny, SPEC.nx, 10)
     assert np.all(bev == 0)
+
+
+def test_scatter_max_bev_compact_matches_direct(rng):
+    """Compact two-step canvas scatter == direct segment_max scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from coalign_tpu.ops import pillars as P
+
+    spec = P.PillarSpec.from_config([-8, -8, -3, 8, 8, 1], [0.4, 0.4, 4])
+    n = 500
+    pts = rng.uniform(-9, 9, (n, 4)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.15
+    ids, valid = P.pillar_ids(jnp.asarray(pts), jnp.asarray(mask), spec)
+    pts_s, ids_s, valid_s = P.sort_points_by_pillar(
+        jnp.asarray(pts), ids, valid)
+    feats = jnp.abs(jnp.asarray(
+        rng.normal(size=(n, 16)).astype(np.float32)))  # post-ReLU-like
+    # keep feats aligned with the sort: re-derive from sorted points
+    feats_s = feats  # content is arbitrary; alignment with ids_s is fine
+
+    direct = P.scatter_max_bev(feats_s, ids_s, valid_s, spec,
+                               indices_are_sorted=True)
+    compact = P.scatter_max_bev_compact(feats_s, ids_s, valid_s, spec)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(direct),
+                               rtol=0, atol=0)
