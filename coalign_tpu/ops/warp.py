@@ -84,6 +84,45 @@ def _bilinear_gather(src, fx, fy):
     return top_v * (1 - ty_) + bot_v * ty_
 
 
+def _bilinear_gather_quad(src, fx, fy):
+    """One-gather bilinear: the full 2x2 patch is packed into a 4C-wide
+    row (256 lanes at C=64). Trades a 4x table materialization for a
+    single row gather. RACED AND REJECTED: at OPV2V scale this
+    formulation repeatably faulted the v5e TPU worker inside the full
+    e2e program (axon stack, 2026-08); the paired-channel 2-gather form
+    is the production path. Kept as a tested reference point."""
+    h, w, c = src.shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    sp = jnp.pad(src, ((1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate([sp[:-1, :-1], sp[:-1, 1:],
+                            sp[1:, :-1], sp[1:, 1:]], axis=-1)
+    flat = quad.reshape((h + 1) * (w + 1), 4 * c)
+    p = jnp.clip(x0i + 1, 0, w)
+    q = jnp.clip(y0i + 1, 0, h)
+    idx = q * (w + 1) + p
+    vals = flat[idx.reshape(-1)].reshape(idx.shape + (4 * c,))
+
+    dt = src.dtype
+    mx0 = ((x0i >= 0) & (x0i < w))[..., None].astype(dt)
+    mx1 = ((x0i + 1 >= 0) & (x0i + 1 < w))[..., None].astype(dt)
+    my0 = ((y0i >= 0) & (y0i < h))[..., None].astype(dt)
+    my1 = ((y0i + 1 >= 0) & (y0i + 1 < h))[..., None].astype(dt)
+    wx0 = (1 - tx)[..., None].astype(dt) * mx0
+    wx1 = tx[..., None].astype(dt) * mx1
+    wy0 = (1 - ty)[..., None].astype(dt) * my0
+    wy1 = ty[..., None].astype(dt) * my1
+    return ((vals[..., 0 * c:1 * c] * wx0 + vals[..., 1 * c:2 * c] * wx1)
+            * wy0
+            + (vals[..., 2 * c:3 * c] * wx0 + vals[..., 3 * c:4 * c] * wx1)
+            * wy1)
+
+
 def warp_agents_to_ego(features, affines, agent_mask):
     """Warp every agent's BEV map into the ego frame, batched.
 

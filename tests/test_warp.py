@@ -83,3 +83,18 @@ def test_warp_bf16_wide_grid_coordinate_precision():
     # an O(1) feature error; with f32 coords only bf16 value rounding
     # remains (~1e-2)
     assert np.abs(out16 - out32)[:, 256:].max() < 0.05
+
+
+def test_bilinear_gather_quad_matches_paired():
+    """The (rejected-for-TPU) quad-packed gather must stay numerically
+    identical to the production paired-channel gather."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    h, w, c = 12, 20, 8
+    src = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, w + 2, (h, w)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, h + 2, (h, w)).astype(np.float32))
+    a = np.asarray(W._bilinear_gather(src, fx, fy))
+    b = np.asarray(W._bilinear_gather_quad(src, fx, fy))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
