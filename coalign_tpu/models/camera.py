@@ -38,23 +38,35 @@ from coalign_tpu.utils.transforms import normalize_pairwise_tfm
 
 class CamEncoder(nn.Module):
     """Image -> (depth distribution, context) at 1/8 resolution
-    (ref lss_submodule.py:41 CamEncode)."""
+    (ref lss_submodule.py:41 CamEncode / :142 CamEncode_Resnet101).
+
+    ``variant`` follows the yaml ``camera_encoder`` knob: 'EfficientNet'
+    (default) is the light trunk matching the reference's EfficientNet-b0
+    capacity class; 'Resnet101' widens/deepens each stage, matching the
+    heavier ResNet-101 option. Both are from-scratch trunks — the
+    reference's torch-hub pretrained weights are not portable."""
 
     depth_bins: int
     cam_channels: int
+    variant: str = "EfficientNet"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        heavy = "resnet" in self.variant.lower()
+        widths = (64, 96, 192, 256) if heavy else (32, 48, 96, 128)
+        reps = 2 if heavy else 1
         # stem /2
-        x = ConvBNReLU(32, 3, 2, 1)(x, train=train)
-        x = ConvBNReLU(32, 3, 1, 1)(x, train=train)
+        x = ConvBNReLU(widths[0], 3, 2, 1)(x, train=train)
+        x = ConvBNReLU(widths[0], 3, 1, 1)(x, train=train)
         # stage /4
-        x = BasicBlock(48, 2)(x, train=train)
-        x = BasicBlock(48, 1)(x, train=train)
+        x = BasicBlock(widths[1], 2)(x, train=train)
+        for _ in range(reps):
+            x = BasicBlock(widths[1], 1)(x, train=train)
         # stage /8
-        x = BasicBlock(96, 2)(x, train=train)
-        x = BasicBlock(96, 1)(x, train=train)
-        x = BasicBlock(128, 1)(x, train=train)
+        x = BasicBlock(widths[2], 2)(x, train=train)
+        for _ in range(reps):
+            x = BasicBlock(widths[2], 1)(x, train=train)
+        x = BasicBlock(widths[3], 1)(x, train=train)
         head = nn.Conv(self.depth_bins + self.cam_channels, (1, 1))(x)
         depth_logits = head[..., :self.depth_bins]
         context = head[..., self.depth_bins:]
@@ -161,8 +173,9 @@ class _LSSBase(nn.Module):
         imgs = imgs.reshape((f * n,) + imgs.shape[-3:])
         cam_c = self.args.get("img_features", 64)
         context, depth_logits = CamEncoder(
-            depth_bins=spec.depth_bins, cam_channels=cam_c)(imgs,
-                                                            train=train)
+            depth_bins=spec.depth_bins, cam_channels=cam_c,
+            variant=self.args.get("camera_encoder", "EfficientNet"))(
+            imgs, train=train)
         if self.args.get("use_gt_depth") and "depth_map" in image_inputs:
             from coalign_tpu.ops.lss import bin_depths
 

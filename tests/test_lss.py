@@ -233,3 +233,20 @@ def test_lss_fusion_zoo_v2vnet_v2xvit_max():
         out = model.apply(variables, batch, train=False)
         assert out["cls_preds"].shape == (1, 40, 40, 2), name
         assert np.isfinite(np.asarray(out["cls_preds"])).all(), name
+
+
+def test_camera_encoder_variant_knob():
+    """camera_encoder: Resnet101 builds a heavier trunk than EfficientNet
+    (ref lss_submodule.py CamEncode vs CamEncode_Resnet101)."""
+    import jax
+
+    def nparams(variant):
+        model = build_model({"core_method": "lift_splat_shoot",
+                             "args": _args({"camera_encoder": variant})})
+        batch = _camera_batch(b=1, l=1, n=1)
+        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        return sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+
+    light = nparams("EfficientNet")
+    heavy = nparams("Resnet101")
+    assert heavy > light * 1.5
