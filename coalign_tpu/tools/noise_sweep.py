@@ -61,3 +61,70 @@ def noise_sweep(model, variables, batcher_factory, dataset, anchors,
                 break
         results[(pos_std, rot_std)] = E.eval_final_results(stat)
     return results
+
+
+def main(argv=None):
+    """CLI mirroring ref tools/inference_w_noise.py: load a trained
+    model_dir, re-draw pose noise per sigma level, report AP per level."""
+    import argparse
+    import copy
+    import json
+    import os
+
+    import numpy as np
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", required=True,
+                   help="dir with config.yaml + step_* checkpoints")
+    p.add_argument("--levels", default="0,0.2,0.4,0.6",
+                   help="comma-separated sigmas (m and deg, paired)")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--eval_frames", type=int, default=None)
+    p.add_argument("--root_dir", default=None)
+    opt = p.parse_args(argv)
+
+    from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
+    from coalign_tpu.data import build_dataset
+    from coalign_tpu.tools.run import build_all, postprocess_cfg
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   load_checkpoint)
+
+    params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
+    if opt.root_dir:
+        params["root_dir"] = opt.root_dir
+        params["validate_dir"] = opt.root_dir
+    base, batcher0, model, _, spec = build_all(params, train=False)
+    batch0 = batcher0.assemble([base[0]])
+    tx = build_optimizer(params["optimizer"], None)
+    state = create_train_state(model, {k: np.asarray(v)
+                                       for k, v in batch0.items()}, tx)
+    ckpts = sorted(d for d in os.listdir(opt.model_dir)
+                   if d.startswith("step_"))
+    if ckpts:
+        state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
+                                state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def batcher_factory(pos_std, rot_std):
+        p2 = copy.deepcopy(params)
+        p2["noise_setting"] = {"add_noise": pos_std > 0 or rot_std > 0,
+                               "args": {"pos_std": pos_std,
+                                        "rot_std": rot_std,
+                                        "pos_mean": 0, "rot_mean": 0}}
+        _, b = build_dataset(p2, train=False)
+        return b
+
+    levels = tuple((float(s), float(s))
+                   for s in opt.levels.split(",") if s != "")
+    results = noise_sweep(model, variables, batcher_factory, base,
+                          spec.anchors, postprocess_cfg(params),
+                          levels=levels, batch_size=opt.batch_size,
+                          max_frames=opt.eval_frames)
+    out = {f"{k[0]:g}_{k[1]:g}": v for k, v in results.items()}
+    print(json.dumps(out))
+    save_yaml(out, os.path.join(opt.model_dir, "eval_noise_sweep.yaml"))
+    return results
+
+
+if __name__ == "__main__":
+    main()
