@@ -62,4 +62,5 @@ def build_dataset(params: dict, train: bool = True):
         "late": LateFusionBatcher,
     }
     key = next((k for k in batchers if k in fusion), "intermediate")
+    kw["train"] = train
     return base, batchers[key](**kw)

@@ -41,7 +41,8 @@ class IntermediateFusionBatcher:
     def __init__(self, max_cav=5, max_points=30000, max_objects=100,
                  lidar_range=(-140.8, -40, -3, 140.8, 40, 1),
                  comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303,
-                 augmentor=None):
+                 augmentor=None, train=False):
+        self.train = train
         self.max_cav = max_cav
         self.max_points = max_points
         self.max_objects = max_objects
@@ -140,7 +141,14 @@ class IntermediateFusionBatcher:
             chunk = idx[start:start + batch_size]
             if drop_last and len(chunk) < batch_size:
                 return
-            yield self.assemble([dataset[i] for i in chunk])
+            frames = [dataset[i] for i in chunk]
+            # train-mode batchers may build different batches (the late
+            # batcher trains on ONE random cav per frame,
+            # ref late_fusion_dataset.py:52-69)
+            if self.train and hasattr(self, "assemble_train"):
+                yield self.assemble_train(frames)
+            else:
+                yield self.assemble(frames)
 
 
 class EarlyFusionBatcher(IntermediateFusionBatcher):

@@ -78,3 +78,64 @@ def evaluate_pose_graph(model, variables, batcher, dataset, anchors,
         "after": summarize(cat(after_t), cat(after_r)),
         "frames": frames,
     }
+
+
+def main(argv=None):
+    """CLI mirroring ref tools/pose_graph_evaluate.py: load a trained
+    stage-1 (uncertainty) model_dir, add pose noise, report relative pose
+    error CDFs before/after pose-graph correction."""
+    import argparse
+    import copy
+    import json
+    import os
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--pos_std", type=float, default=0.4)
+    p.add_argument("--rot_std", type=float, default=0.4)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval_frames", type=int, default=None)
+    p.add_argument("--root_dir", default=None)
+    opt = p.parse_args(argv)
+
+    from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
+    from coalign_tpu.data import build_dataset
+    from coalign_tpu.tools.run import build_all, postprocess_cfg
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   load_checkpoint)
+
+    params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
+    if opt.root_dir:
+        params["root_dir"] = opt.root_dir
+        params["validate_dir"] = opt.root_dir
+    params = copy.deepcopy(params)
+    params["noise_setting"] = {"add_noise": True,
+                               "args": {"pos_std": opt.pos_std,
+                                        "rot_std": opt.rot_std,
+                                        "pos_mean": 0, "rot_mean": 0}}
+    # the stage-1 detector is trained per-agent (late fusion), but the
+    # pose graph needs all agents of a frame together with their noisy
+    # poses + pairwise transforms: evaluate on the intermediate batcher
+    # (ref pose_graph_evaluate.py builds the intermediate dataset)
+    params["fusion"] = dict(params["fusion"], core_method="intermediate")
+    base, batcher, model, _, spec = build_all(params, train=False)
+    batch0 = batcher.assemble([base[0]])
+    tx = build_optimizer(params["optimizer"], None)
+    state = create_train_state(model, {k: np.asarray(v)
+                                       for k, v in batch0.items()}, tx)
+    ckpts = sorted(d for d in os.listdir(opt.model_dir)
+                   if d.startswith("step_"))
+    if ckpts:
+        state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
+                                state)
+    res = evaluate_pose_graph(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        batcher, base, spec.anchors, postprocess_cfg(params),
+        batch_size=opt.batch_size, max_frames=opt.eval_frames)
+    print(json.dumps(res))
+    save_yaml(res, os.path.join(opt.model_dir, "eval_pose_graph.yaml"))
+    return res
+
+
+if __name__ == "__main__":
+    main()
