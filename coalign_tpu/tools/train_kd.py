@@ -46,3 +46,100 @@ def make_kd_train_step(student, teacher, teacher_variables, loss_fn,
         return state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def main(argv=None):
+    """CLI mirroring ref tools/train_w_kd.py:32-112: train a DiscoNet
+    student against a frozen early-fusion teacher (same model args,
+    ``point_pillar_disconet_teacher``), optionally warm-starting the
+    teacher from a checkpoint dir."""
+    import argparse
+    import json
+    import os
+
+    import numpy as np
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-y", "--hypes_yaml", required=True)
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--teacher_dir", default=None,
+                   help="optional dir with step_* checkpoints for the "
+                        "frozen teacher")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--root_dir", default=None)
+    opt = p.parse_args(argv)
+
+    from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
+    from coalign_tpu.data import build_dataset
+    from coalign_tpu.data.batch import KDFusionBatcher
+    from coalign_tpu.data.prefetch import prefetch
+    from coalign_tpu.loss import build_loss
+    from coalign_tpu.models import build_model
+    from coalign_tpu.postprocess.anchors import make_anchor_spec
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   load_checkpoint, save_checkpoint)
+
+    params = load_yaml(opt.hypes_yaml)
+    if opt.root_dir:
+        params["root_dir"] = opt.root_dir
+    base, inter = build_dataset(params, train=True)
+    # KD needs the merged-cloud teacher view alongside the student batch
+    batcher = KDFusionBatcher(
+        max_cav=params["train_params"].get("max_cav", 5),
+        max_points=inter.max_points, max_objects=inter.max_objects,
+        lidar_range=params["preprocess"]["cav_lidar_range"],
+        comm_range=params.get("comm_range", 70.0),
+        pos_std=inter.pos_std, rot_std=inter.rot_std, train=True)
+
+    margs = params["model"]["args"]
+    student = build_model({"core_method": "point_pillar_disconet",
+                           "args": margs})
+    teacher = build_model({"core_method": "point_pillar_disconet_teacher",
+                           "args": margs})
+    loss_fn = build_loss(params["loss"])
+    post = params["postprocess"]
+    spec = make_anchor_spec(post["anchor_args"], post["target_args"],
+                            post.get("order", "hwl"))
+
+    tp = params["train_params"]
+    batch0 = batcher.assemble([base[0]])
+    batch0 = {k: np.asarray(v) for k, v in batch0.items()}
+    import jax
+
+    t_vars = jax.jit(lambda k, b: teacher.init(k, b, train=False))(
+        jax.random.PRNGKey(1), batch0)
+    if opt.teacher_dir:
+        tx_t = build_optimizer({"core_method": "Adam", "lr": 1e-3}, None)
+        t_state = create_train_state(teacher, batch0, tx_t)
+        ckpts = sorted(d for d in os.listdir(opt.teacher_dir)
+                       if d.startswith("step_"))
+        if ckpts:
+            t_state = load_checkpoint(
+                os.path.join(opt.teacher_dir, ckpts[-1]), t_state)
+        t_vars = {"params": t_state.params,
+                  "batch_stats": t_state.batch_stats}
+
+    tx = build_optimizer(params["optimizer"], params.get("lr_scheduler"),
+                         max(1, len(base) // tp["batch_size"]))
+    state = create_train_state(student, batch0, tx)
+    step_fn = make_kd_train_step(student, teacher, t_vars, loss_fn, spec)
+
+    model_dir = opt.model_dir or os.path.join(
+        "logs", params.get("name", "kd"))
+    os.makedirs(model_dir, exist_ok=True)
+    save_yaml(params, os.path.join(model_dir, "config.yaml"))
+    history = []
+    for epoch in range(opt.epochs or tp["epoches"]):
+        for batch in prefetch(batcher.batches(base, tp["batch_size"]),
+                              size=2):
+            state, metrics = step_fn(state, batch)
+        m = {k: float(v) for k, v in metrics.items()}
+        m["epoch"] = epoch
+        history.append(m)
+        print(json.dumps(m))
+    save_checkpoint(state, model_dir, step=len(history))
+    return state, history
+
+
+if __name__ == "__main__":
+    main()

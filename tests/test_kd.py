@@ -78,3 +78,63 @@ def test_kd_train_step_runs_and_improves():
     for _ in range(5):
         state, m = step(state, batch)
     assert float(m["total_loss"]) < float(m0["total_loss"])
+
+
+def test_train_kd_cli(tmp_path):
+    """CLI mirroring ref train_w_kd.py: student+teacher from one yaml,
+    checkpoints written."""
+    import os
+
+    import yaml
+
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.train_kd import main as kd_main
+
+    ds = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                         lidar_range=LIDAR_RANGE, points_per_object=32,
+                         ground_points=64, seed=4)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), ds,
+                               frames_per_scenario=2)
+    cfg = {
+        "name": "kd_test",
+        "root_dir": root, "validate_dir": root, "test_dir": root,
+        "noise_setting": {"add_noise": False},
+        "yaml_parser": "load_point_pillar_params",
+        "train_params": {"batch_size": 2, "epoches": 1, "max_cav": 2},
+        "input_source": ["lidar"], "label_type": "lidar",
+        "comm_range": 70,
+        "fusion": {"core_method": "intermediate", "dataset": "opv2v",
+                   "args": {"proj_first": False}},
+        "preprocess": {"core_method": "SpVoxelPreprocessor",
+                       "args": {"voxel_size": [0.4, 0.4, 4],
+                                "max_points_per_voxel": 16,
+                                "max_voxel_train": 2000,
+                                "max_voxel_test": 2000},
+                       "cav_lidar_range": LIDAR_RANGE},
+        "postprocess": {"core_method": "VoxelPostprocessor",
+                        "gt_range": LIDAR_RANGE,
+                        "anchor_args": {"cav_lidar_range": LIDAR_RANGE,
+                                        "l": 3.9, "w": 1.6, "h": 1.56,
+                                        "r": [0, 90], "feature_stride": 2,
+                                        "num": 2},
+                        "target_args": {"pos_threshold": 0.6,
+                                        "neg_threshold": 0.45,
+                                        "score_threshold": 0.2},
+                        "order": "hwl", "max_num": 8, "nms_thresh": 0.15},
+        "model": {"core_method": "point_pillar_disconet", "args": ARGS},
+        "loss": {"core_method": "point_pillar_disconet_loss",
+                 "args": {"pos_cls_weight": 2.0,
+                          "cls": {"alpha": 0.25, "gamma": 2.0,
+                                  "weight": 2.0},
+                          "reg": {"sigma": 3.0, "weight": 2.0},
+                          "kd": {"weight": 1.0}}},
+        "optimizer": {"core_method": "Adam", "lr": 0.002, "args": {}},
+    }
+    path = str(tmp_path / "kd.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    model_dir = str(tmp_path / "kd_run")
+    state, history = kd_main(["-y", path, "--model_dir", model_dir,
+                              "--epochs", "1"])
+    assert history and np.isfinite(history[-1]["total_loss"])
+    assert any(d.startswith("step_") for d in os.listdir(model_dir))
