@@ -32,15 +32,15 @@ def nms_rotated(corners, scores, valid_mask, iou_threshold: float,
     """
     k = corners.shape[0]
     scores = jnp.where(valid_mask, scores, -jnp.inf)
-    order = jnp.argsort(-scores)  # high to low
-    sorted_corners = corners[order]
-    sorted_valid = valid_mask[order]
+    order = jnp.argsort(-scores)          # high to low
+    rank = jnp.argsort(order)             # rank[i] = position of i
 
-    iou = rotated_iou_corners(sorted_corners, sorted_corners)  # (K, K)
-    # strictly-lower-triangular suppression: sup[j, i] == True when the
-    # higher-ranked j would kill i
-    idx = jnp.arange(k)
-    suppress = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
+    # IoU in ORIGINAL index space — reordering the (K, 4, 2) corners just
+    # to build the matrix costs a row gather (~0.7 ms at K=512 on a v5e);
+    # the rank comparison below encodes the score order instead.
+    iou = rotated_iou_corners(corners, corners)  # (K, K)
+    # sup[j, i] == True when the higher-ranked j would kill i
+    suppress = (iou > iou_threshold) & (rank[:, None] < rank[None, :])
 
     # Exact greedy NMS via the overlap-matrix fixpoint (the algorithm a
     # K-step sequential lax.scan would compute, but in O(chain depth)
@@ -58,15 +58,16 @@ def nms_rotated(corners, scores, valid_mask, iou_threshold: float,
     def step(state):
         keep, _, it = state
         killed = (supf.T @ keep.astype(jnp.float32)) > 0.0
-        return sorted_valid & ~killed, keep, it + 1
+        return valid_mask & ~killed, keep, it + 1
 
-    keep0 = sorted_valid
-    keep_mask, _, _ = jax.lax.while_loop(
+    keep0 = valid_mask
+    keep_unsorted, _, _ = jax.lax.while_loop(
         cond, step, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
+    keep_mask = keep_unsorted[order]      # tiny bool gather
 
     if max_keep is not None and max_keep < k:
-        rank = jnp.cumsum(keep_mask) - 1
-        keep_mask = keep_mask & (rank < max_keep)
+        rnk = jnp.cumsum(keep_mask) - 1
+        keep_mask = keep_mask & (rnk < max_keep)
     return order, keep_mask
 
 
