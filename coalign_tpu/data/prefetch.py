@@ -40,23 +40,43 @@ def prefetch(iterator, size: int = 2, *, to_device: bool = True,
             sharding = NamedSharding(mesh, PartitionSpec(axis))
         return {k: jax.device_put(v, sharding) for k, v in item.items()}
 
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
-                out_q.put(place(item))
+                if not put(place(item)):
+                    return  # consumer abandoned the generator
         except BaseException as e:  # surfaced to the consumer below
             errors.append(e)
         finally:
-            out_q.put(_SENTINEL)
+            put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True,
                          name="coalign-prefetch")
     t.start()
-    while True:
-        item = out_q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
-    if errors:
-        raise errors[0]
+    try:
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if errors:
+            raise errors[0]
+    finally:
+        # consumer broke out early (evaluate() max_frames, noise_sweep):
+        # unblock and retire the worker instead of leaking it on a full
+        # queue holding device-placed batches.
+        stop.set()
+        t.join()

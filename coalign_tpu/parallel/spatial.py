@@ -40,23 +40,25 @@ def halo_exchange(x, halo: int, axis_name: str):
     return jnp.concatenate([left_halo, x, right_halo], axis=-2)
 
 
-def sharded_conv2d(x, kernel, axis_name: str, stride: int = 1):
-    """W-sharded NHWC conv with SAME padding semantics across shards.
+def sharded_conv2d(x, kernel, axis_name: str):
+    """W-sharded stride-1 NHWC conv with SAME padding semantics across
+    shards.
 
     x: (B, H, W_local, Cin) inside shard_map; kernel (kh, kw, Cin, Cout).
     Halo width = kw // 2 columns; the H axis stays local (SAME padding).
+    Only stride 1 is supported: a strided conv's output phase would depend
+    on each shard's global column offset, which this halo scheme does not
+    model.
     """
     kh, kw = kernel.shape[:2]
-    halo = kw // 2
-    x = halo_exchange(jnp.swapaxes(x, -2, -2), halo, axis_name)
+    x = halo_exchange(x, kw // 2, axis_name)
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(stride, stride),
+        x, kernel, window_strides=(1, 1),
         padding=((kh // 2, kh // 2), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def make_spatial_conv_fn(kernels, mesh: Mesh, axis: str = "space",
-                         stride: int = 1):
+def make_spatial_conv_fn(kernels, mesh: Mesh, axis: str = "space"):
     """Build a jitted W-sharded conv stack: x (B, H, W, Cin) sharded on W.
 
     kernels: list of (kh, kw, Cin, Cout) arrays applied with ReLU between.
@@ -64,7 +66,7 @@ def make_spatial_conv_fn(kernels, mesh: Mesh, axis: str = "space",
     """
     def local(x, *ks):
         for i, k in enumerate(ks):
-            x = sharded_conv2d(x, k, axis, stride)
+            x = sharded_conv2d(x, k, axis)
             if i < len(ks) - 1:
                 x = jax.nn.relu(x)
         return x

@@ -138,7 +138,7 @@ def stage1_content_to_arrays(content, frame_ids, max_cav: int,
                 poses[i, a, :k] = bp[:k]
                 masks[i, a, :k] = True
                 if un.size:
-                    uncs[i, a, :k] = un[:k].reshape(len(un), -1)[:k, :3]
+                    uncs[i, a, :k] = un.reshape(len(un), -1)[:k, :3]
     return {"box_poses": jnp.asarray(poses), "box_mask": jnp.asarray(masks),
             "uncertainty": jnp.asarray(uncs)}
 

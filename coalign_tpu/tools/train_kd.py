@@ -83,13 +83,16 @@ def main(argv=None):
     if opt.root_dir:
         params["root_dir"] = opt.root_dir
     base, inter = build_dataset(params, train=True)
-    # KD needs the merged-cloud teacher view alongside the student batch
+    # KD needs the merged-cloud teacher view alongside the student batch;
+    # keep the augmentor/seed build_dataset wired into the base batcher
+    # (ref tools/train_w_kd.py trains with the normal augmented pipeline)
     batcher = KDFusionBatcher(
         max_cav=params["train_params"].get("max_cav", 5),
         max_points=inter.max_points, max_objects=inter.max_objects,
         lidar_range=params["preprocess"]["cav_lidar_range"],
         comm_range=params.get("comm_range", 70.0),
-        pos_std=inter.pos_std, rot_std=inter.rot_std, train=True)
+        pos_std=inter.pos_std, rot_std=inter.rot_std,
+        augmentor=getattr(inter, "augmentor", None), train=True)
 
     margs = params["model"]["args"]
     student = build_model({"core_method": "point_pillar_disconet",
@@ -130,9 +133,13 @@ def main(argv=None):
     save_yaml(params, os.path.join(model_dir, "config.yaml"))
     history = []
     for epoch in range(opt.epochs or tp["epoches"]):
+        metrics = None
         for batch in prefetch(batcher.batches(base, tp["batch_size"]),
                               size=2):
             state, metrics = step_fn(state, batch)
+        if metrics is None:  # dataset smaller than one batch (drop_last)
+            print(json.dumps({"epoch": epoch, "batches": 0}))
+            continue
         m = {k: float(v) for k, v in metrics.items()}
         m["epoch"] = epoch
         history.append(m)

@@ -92,3 +92,30 @@ def test_train_epochs_uses_prefetch_end_to_end():
         model, loss_fn, spec, state, batcher, ds,
         epochs=1, batch_size=2, log_every=1)
     assert history and np.isfinite(history[-1]["total_loss"])
+
+
+def test_prefetch_abandoned_generator_stops_worker():
+    """Consumer breaking out early must not leak the worker thread on a
+    full queue (evaluate() max_frames / noise_sweep break mid-epoch)."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+
+    it = prefetch(gen(), size=1, to_device=False)
+    next(it)
+    it.close()  # GeneratorExit -> finally must retire the worker
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "coalign-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "coalign-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+    assert len(produced) < 1000  # worker stopped early, didn't drain source

@@ -143,3 +143,25 @@ def test_correct_batch_poses_improves_pairwise(rng):
                       - clean_pair[..., :2, 3]).max()
     assert noisy_err > 0.3
     assert corr_err < noisy_err * 0.3, (noisy_err, corr_err)
+
+
+def test_stage1_content_arrays_truncate_long_uncertainty():
+    """Json dumped with a larger max_boxes than it is loaded with must
+    truncate, not crash (advisor round-1 finding: reshape before slice)."""
+    import numpy as np
+
+    from coalign_tpu.tools.stage1 import stage1_content_to_arrays
+
+    n = 48  # dumped with max_boxes=48
+    content = {"0": [{
+        "box_poses": np.random.default_rng(0).normal(size=(n, 3)).tolist(),
+        "uncertainty": np.random.default_rng(1).normal(size=(n, 3)).tolist(),
+    }]}
+    out = stage1_content_to_arrays(content, [0], max_cav=2, max_boxes=24)
+    assert out["box_poses"].shape == (1, 2, 24, 3)
+    assert out["uncertainty"].shape == (1, 2, 24, 3)
+    assert bool(np.asarray(out["box_mask"])[0, 0].all())
+    np.testing.assert_allclose(
+        np.asarray(out["uncertainty"])[0, 0],
+        np.asarray(content["0"][0]["uncertainty"], np.float32)[:24],
+        rtol=1e-6)
