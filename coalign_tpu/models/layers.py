@@ -103,7 +103,13 @@ class ConvBNReLU(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """torchvision BasicBlock (ref resblock.py:23), NHWC."""
+    """torchvision BasicBlock (ref resblock.py:23), NHWC.
+
+    BN eps is 1e-5 here, NOT the 1e-3 used everywhere else: resblock.py's
+    BasicBlock takes the torch.nn.BatchNorm2d default, while the explicit
+    backbone/PFN norms pass eps=1e-3 — checkpoint-import parity depends on
+    reproducing both (tests/test_ckpt_import.py).
+    """
 
     planes: int
     stride: int = 1
@@ -114,16 +120,17 @@ class BasicBlock(nn.Module):
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=[(1, 1), (1, 1)], use_bias=False,
                       dtype=compute_dtype())(x)
-        out = MaskedBatchNorm()(out, mask=mask, train=train)
+        out = MaskedBatchNorm(epsilon=1e-5)(out, mask=mask, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
                       use_bias=False, dtype=compute_dtype())(out)
-        out = MaskedBatchNorm()(out, mask=mask, train=train)
+        out = MaskedBatchNorm(epsilon=1e-5)(out, mask=mask, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=compute_dtype())(x)
-            identity = MaskedBatchNorm()(identity, mask=mask, train=train)
+            identity = MaskedBatchNorm(epsilon=1e-5)(identity, mask=mask,
+                                                     train=train)
         return nn.relu(out + identity)
 
 

@@ -32,6 +32,7 @@ class PillarEncoder(nn.Module):
     use_norm: bool = True
     with_distance: bool = False
     use_absolute_xyz: bool = True
+    pad_parity: bool = False
 
     @nn.compact
     def __call__(self, points, mask, train: bool = False):
@@ -52,25 +53,60 @@ class PillarEncoder(nn.Module):
 
         num_seg = self.spec.ny * self.spec.nx + 1
         x = feats
+        # pad_parity tracks what the reference computes for its zeroed
+        # pad slots: PillarVFE zeroes decorated pad rows (pillar_vfe.py
+        # forward tail ``features *= mask``) but still runs them through
+        # Linear+BN+ReLU and INCLUDES them in the per-pillar max — so each
+        # non-empty, non-full pillar's max has an extra relu(BN(W·0))
+        # participant. Required for imported reference checkpoints to
+        # reproduce reference activations (utils/ckpt_import.py); exact in
+        # eval mode (running stats), while train mode keeps this package's
+        # masked batch statistics.
+        z = jnp.zeros((1, 1) + feats.shape[2:]) if self.pad_parity else None
         for i, out_ch in enumerate(self.num_filters):
             last = i == len(self.num_filters) - 1
             units = out_ch if last else out_ch // 2
-            x = nn.Dense(units, use_bias=not self.use_norm,
-                         dtype=compute_dtype())(x)
-            if self.use_norm:
-                x = MaskedBatchNorm()(x, mask=valid, train=train)
+            dense = nn.Dense(units, use_bias=not self.use_norm,
+                             dtype=compute_dtype())
+            norm = MaskedBatchNorm() if self.use_norm else None
+            x = dense(x)
+            if norm is not None:
+                x = norm(x, mask=valid, train=train)
             x = nn.relu(x) * valid[..., None]
+            if z is not None:
+                z = dense(z)
+                if norm is not None:
+                    # always the running-stats path: the pad track must not
+                    # pollute (or double-write) the batch statistics
+                    z = norm(z, train=False)
+                z = nn.relu(z)
+
+            def seg_max(xi, idi):
+                return jax.ops.segment_max(xi, idi, num_segments=num_seg,
+                                           indices_are_sorted=True)
+
             if not last:
                 # per-pillar max gathered back + concat (PFNLayer:46-52)
-                def seg_max(xi, idi):
-                    return jax.ops.segment_max(xi, idi, num_segments=num_seg,
-                                               indices_are_sorted=True)
                 pmax = jax.vmap(seg_max)(x, ids)
                 pmax = jnp.where(jnp.isneginf(pmax), 0.0, pmax)
+                if z is not None:
+                    pmax = jnp.maximum(pmax, z)
                 gathered = jnp.take_along_axis(
                     pmax, ids[..., None], axis=1)
                 x = jnp.concatenate([x, gathered], axis=-1)
+                if z is not None:
+                    # pad rows concat their own features with the pillar
+                    # max -> per-pillar track from here on
+                    z = jnp.concatenate(
+                        [jnp.broadcast_to(z, pmax.shape), pmax], axis=-1)
 
         bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev(
             xi, i, v, self.spec, indices_are_sorted=True))(x, ids, valid)
+        if z is not None:
+            counts = jax.vmap(lambda i, v: P.pillar_count_bev(
+                i, v, self.spec))(ids, valid)
+            zmap = jnp.broadcast_to(
+                z, (f, num_seg, z.shape[-1]))[:, :-1, :].reshape(bev.shape)
+            bev = jnp.where(counts[..., None] > 0,
+                            jnp.maximum(bev, zmap), bev)
         return bev

@@ -64,6 +64,7 @@ class _PillarBase(nn.Module):
             use_norm=vfe.get("use_norm", True),
             with_distance=vfe.get("with_distance", False),
             use_absolute_xyz=vfe.get("use_absolute_xyz", True),
+            pad_parity=vfe.get("pad_parity", False),
         )
 
     def _make_heads(self):

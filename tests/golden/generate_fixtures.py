@@ -1,0 +1,256 @@
+"""Generate golden parity fixtures from the reference torch implementation.
+
+Run ONCE in an environment that has torch (cpu) and the reference checkout:
+
+    python tests/golden/generate_fixtures.py --reference /root/reference
+
+It writes small .pth / .npz pairs into tests/golden/ that the test suite
+then consumes WITHOUT needing torch or the reference checkout. The fixtures
+pin the subtle torch conventions (checkpoint serialization + key space,
+BN eval semantics, ConvTranspose2d adjoint-vs-correlation,
+F.affine_grid/grid_sample(align_corners=False), normalize_pairwise_tfm,
+anchor generation + delta_to_boxes3d) at the numbers the reference
+actually produces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+TINY_ARGS = {
+    "voxel_size": [0.4, 0.4, 4.0],
+    "lidar_range": [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0],
+    "anchor_number": 2,
+    "pillar_vfe": {"use_norm": True, "with_distance": False,
+                   "use_absolute_xyz": True, "num_filters": [64]},
+    "point_pillar_scatter": {"num_features": 64, "grid_size": [64, 64, 1]},
+    "base_bev_backbone": {"layer_nums": [2, 2], "layer_strides": [2, 2],
+                          "num_filters": [32, 64], "upsample_strides": [1, 2],
+                          "num_upsample_filter": [64, 64]},
+    "shrink_header": {"kernal_size": [3], "stride": [1], "padding": [1],
+                      "dim": [64], "input_dim": 128},
+    "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
+}
+
+
+def _stub_reference_deps():
+    for name, attrs in [
+        ("icecream", {"ic": lambda *a, **k: None}),
+        ("shapely", {}), ("shapely.geometry", {"Polygon": object}),
+        ("pyquaternion", {"Quaternion": object}),
+        ("cv2", {}), ("open3d", {}),
+        # the compiled Cython IoU ext — unused by the fixtures we trace
+        ("opencood.utils.box_overlaps", {"bbox_overlaps": None}),
+    ]:
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules.setdefault(name, mod)
+
+
+def _randomize(model, seed):
+    """Random weights AND random BN running stats so eval-mode BN import
+    is exercised nontrivially."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(
+                    1.0 + 0.3 * torch.rand(m.running_var.shape, generator=g))
+                m.weight.copy_(
+                    1.0 + 0.2 * torch.randn(m.weight.shape, generator=g))
+                m.bias.copy_(
+                    torch.randn(m.bias.shape, generator=g) * 0.05)
+
+
+def _make_points(seed, n=300):
+    """Raw points with <=20 pts per pillar so reference voxelization (cap
+    32) never truncates and both pipelines see the same point sets."""
+    rng = np.random.default_rng(seed)
+    lr = TINY_ARGS["lidar_range"]
+    pts = np.stack([
+        rng.uniform(lr[0] + 0.5, lr[3] - 0.5, n),
+        rng.uniform(lr[1] + 0.5, lr[4] - 0.5, n),
+        rng.uniform(lr[2] + 0.2, lr[5] - 0.2, n),
+        rng.uniform(0, 1, n),
+    ], axis=1).astype(np.float32)
+    return pts
+
+
+def _voxelize(points):
+    """Reference-equivalent pillar grouping (sp_voxel_preprocessor): pillar
+    (ix, iy), features (M, 32, 4) zero-padded, coords (M, 4) [b, z, iy, ix]."""
+    vs = TINY_ARGS["voxel_size"]
+    lr = TINY_ARGS["lidar_range"]
+    ix = np.floor((points[:, 0] - lr[0]) / vs[0]).astype(np.int64)
+    iy = np.floor((points[:, 1] - lr[1]) / vs[1]).astype(np.int64)
+    order = np.argsort(ix * 10000 + iy, kind="stable")
+    feats, coords, nums = [], [], []
+    for key in dict.fromkeys((ix[order] * 10000 + iy[order]).tolist()):
+        sel = points[order][(ix[order] * 10000 + iy[order]) == key]
+        pad = np.zeros((32, 4), np.float32)
+        pad[: len(sel)] = sel
+        feats.append(pad)
+        coords.append([0, 0, key % 10000, key // 10000])
+        nums.append(len(sel))
+    return (np.stack(feats), np.asarray(coords, np.int64),
+            np.asarray(nums, np.int64))
+
+
+def gen_point_pillar(resnet: bool):
+    import torch
+
+    from opencood.models.point_pillar import PointPillar
+
+    args = {**TINY_ARGS,
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": resnet}}
+    model = PointPillar(args)
+    _randomize(model, seed=7 if resnet else 11)
+    model.eval()
+    tag = "resnet" if resnet else "base"
+    torch.save(model.state_dict(),
+               os.path.join(HERE, f"point_pillar_{tag}.pth"))
+
+    points = _make_points(seed=3 if resnet else 5)
+    feats, coords, nums = _voxelize(points)
+    with torch.no_grad():
+        out = model({"processed_lidar": {
+            "voxel_features": torch.from_numpy(feats),
+            "voxel_coords": torch.from_numpy(coords),
+            "voxel_num_points": torch.from_numpy(nums)}})
+    np.savez(os.path.join(HERE, f"point_pillar_{tag}_io.npz"),
+             points=points,
+             cls_preds=out["cls_preds"].numpy(),
+             reg_preds=out["reg_preds"].numpy(),
+             dir_preds=out["dir_preds"].numpy())
+    print(f"point_pillar_{tag}: cls {tuple(out['cls_preds'].shape)}")
+
+
+def gen_compressor():
+    import torch
+
+    from opencood.models.sub_modules.naive_compress import NaiveCompressor
+
+    model = NaiveCompressor(16, 4)
+    _randomize(model, seed=13)
+    model.eval()
+    torch.save(model.state_dict(),
+               os.path.join(HERE, "naive_compressor.pth"))
+    x = np.random.default_rng(0).normal(0, 1, (2, 16, 12, 12)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        y = model(torch.from_numpy(x)).numpy()
+    np.savez(os.path.join(HERE, "naive_compressor_io.npz"), x=x, y=y)
+    print("naive_compressor:", y.shape)
+
+
+def gen_grid_sample():
+    """torch F.affine_grid/grid_sample(align_corners=False) semantics —
+    the convention SURVEY flags as easy to get subtly wrong
+    (ref opencood/utils/torch_transformation_utils.py:322)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(0, 1, (3, 4, 10, 14)).astype(np.float32)
+    thetas = []
+    for i in range(3):
+        ang = rng.uniform(-np.pi, np.pi)
+        tx, ty = rng.uniform(-0.4, 0.4, 2)
+        thetas.append([[np.cos(ang), -np.sin(ang), tx],
+                       [np.sin(ang), np.cos(ang), ty]])
+    theta = np.asarray(thetas, np.float32)
+    grid = F.affine_grid(torch.from_numpy(theta), size=(3, 4, 10, 14),
+                         align_corners=False)
+    out = F.grid_sample(torch.from_numpy(x), grid, align_corners=False)
+    np.savez(os.path.join(HERE, "grid_sample_io.npz"),
+             x=x, theta=theta, grid=grid.numpy(), out=out.numpy())
+    print("grid_sample:", out.shape)
+
+
+def gen_pairwise_tfm():
+    """ref opencood/utils/transformation_utils.py:69 normalize_pairwise_tfm"""
+    import torch
+
+    from opencood.utils.transformation_utils import normalize_pairwise_tfm
+
+    rng = np.random.default_rng(23)
+    B, L = 2, 3
+    mats = np.tile(np.eye(4, dtype=np.float32), (B, L, L, 1, 1))
+    for b in range(B):
+        for i in range(L):
+            for j in range(L):
+                ang = rng.uniform(-np.pi, np.pi)
+                mats[b, i, j, :2, :2] = [[np.cos(ang), -np.sin(ang)],
+                                         [np.sin(ang), np.cos(ang)]]
+                mats[b, i, j, 0, 3] = rng.uniform(-20, 20)
+                mats[b, i, j, 1, 3] = rng.uniform(-20, 20)
+    H, W, ds = 100, 252, 0.4
+    out = normalize_pairwise_tfm(torch.from_numpy(mats), H, W, ds)
+    np.savez(os.path.join(HERE, "pairwise_tfm_io.npz"),
+             mats=mats, H=H, W=W, ds=ds, out=out.numpy())
+    print("pairwise_tfm:", out.shape)
+
+
+def gen_anchors_decode():
+    """ref voxel_postprocessor generate_anchor_box + delta_to_boxes3d."""
+    import torch
+    import yaml as _yaml  # noqa: F401  (reference imports need yaml)
+
+    from opencood.data_utils.post_processor.voxel_postprocessor import \
+        VoxelPostprocessor
+
+    anchor_params = {
+        "anchor_args": {
+            "W": 64, "H": 64, "l": 3.9, "w": 1.6, "h": 1.56,
+            "r": [0, 90], "num": 2, "feature_stride": 2,
+            "vw": 0.4, "vh": 0.4, "vd": 4.0,
+            "cav_lidar_range": TINY_ARGS["lidar_range"],
+        },
+        "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                        "score_threshold": 0.2},
+        "order": "hwl", "max_num": 100, "nms_thresh": 0.15,
+        "dir_args": TINY_ARGS["dir_args"],
+    }
+    post = VoxelPostprocessor(anchor_params, train=False)
+    anchors = post.generate_anchor_box()  # (H, W, 2, 7)
+    rng = np.random.default_rng(29)
+    deltas = rng.normal(0, 0.3, (1, 14, 32, 32)).astype(np.float32)
+    boxes = VoxelPostprocessor.delta_to_boxes3d(
+        torch.from_numpy(deltas), torch.from_numpy(np.asarray(anchors)))
+    np.savez(os.path.join(HERE, "anchors_decode_io.npz"),
+             anchors=np.asarray(anchors), deltas=deltas,
+             boxes=boxes.numpy())
+    print("anchors:", np.asarray(anchors).shape, "boxes:", boxes.shape)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+    sys.path.insert(0, args.reference)
+    _stub_reference_deps()
+    gen_point_pillar(resnet=True)
+    gen_point_pillar(resnet=False)
+    gen_compressor()
+    gen_grid_sample()
+    gen_pairwise_tfm()
+    gen_anchors_decode()
+
+
+if __name__ == "__main__":
+    main()

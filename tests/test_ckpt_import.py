@@ -1,0 +1,133 @@
+"""Reference-checkpoint interop: torch-free .pth reading, opencood->flax
+key mapping, and activation-level parity against recorded reference outputs.
+
+Fixtures in tests/golden/ were generated ONCE from the reference torch
+implementation (tests/golden/generate_fixtures.py); these tests consume
+them without torch or the reference checkout. Parity target: logits match
+the recorded reference activations to ~1e-4 (ref counterpart:
+opencood/tools/train_utils.py:29-74 load_saved_model).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coalign_tpu.models import build_model
+from coalign_tpu.utils.ckpt_import import (load_reference_checkpoint,
+                                           opencood_to_flax)
+from coalign_tpu.utils.torch_ckpt import load_torch_state_dict
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+TINY_ARGS = {
+    "voxel_size": [0.4, 0.4, 4.0],
+    "lidar_range": [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0],
+    "anchor_number": 2,
+    "pillar_vfe": {"use_norm": True, "with_distance": False,
+                   "use_absolute_xyz": True, "num_filters": [64],
+                   "pad_parity": True},
+    "point_pillar_scatter": {"num_features": 64},
+    "base_bev_backbone": {"layer_nums": [2, 2], "layer_strides": [2, 2],
+                          "num_filters": [32, 64], "upsample_strides": [1, 2],
+                          "num_upsample_filter": [64, 64]},
+    "shrink_header": {"kernal_size": [3], "stride": [1], "padding": [1],
+                      "dim": [64], "input_dim": 128},
+    "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
+}
+
+
+def test_torch_free_reader_reads_reference_format():
+    sd = load_torch_state_dict(os.path.join(GOLDEN, "point_pillar_resnet.pth"))
+    assert sd["pillar_vfe.pfn_layers.0.linear.weight"].shape == (64, 10)
+    assert sd["cls_head.weight"].shape == (2, 64, 1, 1)
+    assert sd["backbone.resnet.layer0.0.bn1.running_var"].shape == (32,)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+
+
+def test_reader_matches_torch_load():
+    torch = pytest.importorskip("torch")
+    path = os.path.join(GOLDEN, "point_pillar_base.pth")
+    ours = load_torch_state_dict(path)
+    theirs = torch.load(path, map_location="cpu")
+    assert set(ours) == {k for k in theirs
+                         if not k.endswith("num_batches_tracked")} | {
+        k for k in theirs if k.endswith("num_batches_tracked")}
+    for k, v in theirs.items():
+        np.testing.assert_array_equal(ours[k], v.numpy(), err_msg=k)
+
+
+def test_reader_rejects_malicious_globals(tmp_path):
+    torch = pytest.importorskip("torch")
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("true",))
+
+    path = tmp_path / "evil.pth"
+    torch.save({"x": Evil()}, str(path))
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_torch_state_dict(str(path))
+
+
+def _run_import_parity(tag: str, resnet: bool):
+    io = np.load(os.path.join(GOLDEN, f"point_pillar_{tag}_io.npz"))
+    args = {**TINY_ARGS,
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": resnet}}
+    model = build_model({"core_method": "point_pillar", "args": args})
+    pts = io["points"]
+    n = 512
+    points = np.zeros((1, 1, n, 4), np.float32)
+    points[0, 0, :len(pts)] = pts
+    pmask = np.zeros((1, 1, n), bool)
+    pmask[0, 0, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 1), bool)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, f"point_pillar_{tag}.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds", "dir_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)  # NHWC -> NCHW
+        np.testing.assert_allclose(mine, io[key], atol=1e-4, err_msg=key)
+
+
+def test_point_pillar_resnet_checkpoint_reproduces_reference_logits():
+    _run_import_parity("resnet", resnet=True)
+
+
+def test_point_pillar_base_backbone_checkpoint_reproduces_reference_logits():
+    _run_import_parity("base", resnet=False)
+
+
+def test_naive_compressor_import_with_bias_fold():
+    """Reference NaiveCompressor convs carry bias=True before BN; import
+    folds the bias into BN running_mean — eval output must still match."""
+    from coalign_tpu.models.layers import NaiveCompressor
+
+    io = np.load(os.path.join(GOLDEN, "naive_compressor_io.npz"))
+    sd = load_torch_state_dict(os.path.join(GOLDEN, "naive_compressor.pth"))
+    model = NaiveCompressor(input_dim=16, compress_ratio=4)
+    x = jnp.asarray(io["x"].transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    flat = opencood_to_flax({f"naive_compressor.{k}": v
+                             for k, v in sd.items()}, None)
+    from coalign_tpu.utils.ckpt_import import merge_into_variables
+    flat = {
+        "params": {k[len("compressor/"):]: v
+                   for k, v in flat["params"].items()},
+        "batch_stats": {k[len("compressor/"):]: v
+                        for k, v in flat["batch_stats"].items()},
+    }
+    variables = merge_into_variables(flat, variables)
+    y = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(y.transpose(0, 3, 1, 2), io["y"], atol=1e-5)
+
+
+def test_unmapped_key_raises():
+    with pytest.raises(KeyError, match="unmapped"):
+        opencood_to_flax({"mystery_module.weight": np.zeros((3, 3))}, None)
