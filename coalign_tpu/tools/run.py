@@ -121,16 +121,36 @@ def cmd_inference(opt):
     params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
     if opt.root_dir:
         params["root_dir"] = opt.root_dir
+    ckpts = sorted(d for d in os.listdir(opt.model_dir)
+                   if d.startswith("step_"))
+    pths = sorted(f for f in os.listdir(opt.model_dir)
+                  if f.endswith(".pth"))
+    if pths and not ckpts:
+        # reference checkpoints were trained with torch PFN semantics:
+        # pad slots participate in the pillar max (see PillarEncoder)
+        params["model"]["args"].setdefault("pillar_vfe", {})
+        params["model"]["args"]["pillar_vfe"]["pad_parity"] = True
     base, batcher, model, _, spec = build_all(params, train=False)
     batch0 = batcher.assemble([base[0]])
     tx = build_optimizer(params["optimizer"], None)
     state = create_train_state(model, {k: np.asarray(v)
                                        for k, v in batch0.items()}, tx)
-    ckpts = sorted(d for d in os.listdir(opt.model_dir)
-                   if d.startswith("step_"))
     if ckpts:
         state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
                                 state)
+    elif pths:
+        # a reference (opencood torch) model dir: import net_epoch*.pth
+        # directly (ref tools/train_utils.py:29-74 load_saved_model).
+        # Prefer the bestval slot like the reference does.
+        from coalign_tpu.utils.ckpt_import import load_reference_checkpoint
+        best = [f for f in pths if "bestval" in f]
+        path = os.path.join(opt.model_dir, (best or pths)[-1])
+        variables = load_reference_checkpoint(
+            path, {"params": state.params,
+                   "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(json.dumps({"imported_reference_checkpoint": path}))
     res = evaluate(model,
                    {"params": state.params,
                     "batch_stats": state.batch_stats},

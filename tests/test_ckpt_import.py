@@ -131,3 +131,57 @@ def test_naive_compressor_import_with_bias_fold():
 def test_unmapped_key_raises():
     with pytest.raises(KeyError, match="unmapped"):
         opencood_to_flax({"mystery_module.weight": np.zeros((3, 3))}, None)
+
+
+def test_cli_inference_with_reference_model_dir(tmp_path):
+    """End-to-end product path: a model_dir holding only a reference
+    ``net_epoch_bestval_at*.pth`` + config.yaml runs inference (the
+    reference user's eval workflow, ref tools/inference.py:40-80)."""
+    import shutil
+
+    import yaml
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.run import cmd_inference
+
+    lr = TINY_ARGS["lidar_range"]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=32,
+                             ground_points=64, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+
+    hypes = os.path.join(os.path.dirname(__file__), "..", "coalign_tpu",
+                         "hypes_yaml", "opv2v", "pointpillar_late.yaml")
+    base = load_yaml(hypes)
+    base["root_dir"] = root
+    base["validate_dir"] = root
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    base["preprocess"]["cav_lidar_range"] = lr
+    base["preprocess"]["args"]["voxel_size"] = TINY_ARGS["voxel_size"]
+    base["postprocess"]["gt_range"] = lr
+    base["postprocess"]["anchor_args"].update(
+        cav_lidar_range=lr, W=64, H=64, vw=0.4, vh=0.4)
+    base["model"]["args"] = dict(TINY_ARGS)
+    base["noise_setting"] = {"add_noise": False}
+
+    model_dir = str(tmp_path / "ref_run")
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(base, f)
+    shutil.copy(os.path.join(GOLDEN, "point_pillar_resnet.pth"),
+                os.path.join(model_dir, "net_epoch_bestval_at5.pth"))
+
+    class Opt:
+        hypes_yaml = None
+        root_dir = None
+        fusion_method = "late"
+        eval_frames = 2
+        output = None
+
+    opt = Opt()
+    opt.model_dir = model_dir
+    res = cmd_inference(opt)
+    assert np.isfinite(res["ap30"])
