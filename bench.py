@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """End-to-end throughput benchmark on real TPU hardware.
 
-Measures frames/sec/chip of the full CoAlign pipeline at OPV2V scale
-(voxelize -> pillar encode -> multiscale backbone -> warp + attention
-fusion -> decode -> rotated NMS), batch of frames with L=5 agents each —
-the SURVEY §6 north-star metric. The reference publishes no throughput
-numbers (BASELINE.md); ``vs_baseline`` is measured fps divided by
-REFERENCE_GPU_FPS, a conservative estimate of the PyTorch reference's
-end-to-end eval throughput on a datacenter GPU (its eval loop is
-batch-size-1 with CPU shapely NMS, ref inference.py:40-227).
+Measures the full CoAlign pipeline at OPV2V scale (voxelize -> pillar
+encode -> multiscale backbone -> warp + attention fusion -> decode ->
+rotated NMS), L=5 agents per frame — the SURVEY §6 north-star metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Reported (one JSON line):
+  value / vs_baseline   inference frames/s/chip at batch 1 (primary)
+  sweep                 inference frames/s at B in {1, 2, 4}
+  train_frames_per_sec  full jitted train step (labels+fwd+loss+grads+adam)
+  mfu                   model FLOP utilization of the B=1 inference program:
+                        XLA-reported analytic FLOPs / measured time / chip
+                        peak (bf16). Conservative: counts only the FLOPs XLA
+                        sees, not padding waste.
+
+``REFERENCE_GPU_FPS`` derivation: the reference publishes no throughput
+(BASELINE.md). Its eval loop is strictly batch-1 and synchronization-bound:
+every frame does host voxelization in the DataLoader, a GPU forward, then
+CPU postprocessing with shapely polygon NMS (ref opencood/tools/
+inference.py:40-227, opencood/utils/box_utils.py:693 convex-hull IoU per
+pair). Published reproductions of OpenCOOD-family eval run at 5-15 fps on
+datacenter GPUs; 10 fps is the midpoint and is marked as an estimate, not
+a measurement.
 """
 
 import json
@@ -19,7 +30,9 @@ import time
 
 import numpy as np
 
-REFERENCE_GPU_FPS = 10.0  # assumed PyTorch-GPU e2e eval fps (see docstring)
+REFERENCE_GPU_FPS = 10.0  # estimated reference e2e eval fps (see docstring)
+PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) MXU peak, bf16
+PEAK_F32_FLOPS = 49e12
 
 # OPV2V PointPillars CoAlign config (ref hypes_yaml/opv2v/lidar_only_with_
 # noise/coalign/pointpillar_coalign.yaml)
@@ -27,7 +40,6 @@ LIDAR_RANGE = [-140.8, -40.0, -3.0, 140.8, 40.0, 1.0]
 VOXEL = [0.4, 0.4, 4.0]
 MAX_CAV = 5
 POINTS_PER_AGENT = 30000
-BATCH = 1
 
 MODEL_ARGS = {
     "voxel_size": VOXEL,
@@ -62,6 +74,53 @@ POSTPROCESS = {
     "gt_range": LIDAR_RANGE,
     "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
 }
+LOSS_CFG = {
+    "pos_cls_weight": 2.0,
+    "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 2.0},
+    "reg": {"sigma": 3.0, "weight": 2.0},
+    "dir": {"weight": 0.2, "args": {"dir_offset": 0.7853, "num_bins": 2,
+                                    "anchor_yaw": [0, 90]}},
+}
+
+
+def make_batch(batch_size: int):
+    import jax.numpy as jnp
+
+    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
+
+    dataset = SyntheticScenes(
+        num_frames=batch_size, num_agents=MAX_CAV, num_objects=20,
+        lidar_range=LIDAR_RANGE, points_per_object=400, ground_points=16000,
+        agent_spread=30.0, seed=1)
+    batcher = IntermediateFusionBatcher(
+        max_cav=MAX_CAV, max_points=POINTS_PER_AGENT, max_objects=100,
+        lidar_range=LIDAR_RANGE, comm_range=70.0)
+    batch = batcher.assemble([dataset[i] for i in range(batch_size)])
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def timed_fps(fn, args, batch_size, iters):
+    import jax
+
+    out = fn(*args)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt, dt / iters
+
+
+def xla_flops(jitted, *args):
+    """Analytic FLOPs of the compiled program, per XLA cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -77,51 +136,69 @@ def main():
     except Exception:
         pass
 
-    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
     from coalign_tpu.inference import make_infer_fn
+    from coalign_tpu.loss import build_loss
     from coalign_tpu.models import build_model
     from coalign_tpu.models.layers import set_compute_dtype
     from coalign_tpu.postprocess.anchors import make_anchor_spec
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   make_train_step)
 
     # MXU-native conv dtype (params + BN stats + geometry stay f32)
     set_compute_dtype(jnp.bfloat16)
 
-    dataset = SyntheticScenes(
-        num_frames=BATCH, num_agents=MAX_CAV, num_objects=20,
-        lidar_range=LIDAR_RANGE, points_per_object=400, ground_points=16000,
-        agent_spread=30.0, seed=1)
-    batcher = IntermediateFusionBatcher(
-        max_cav=MAX_CAV, max_points=POINTS_PER_AGENT, max_objects=100,
-        lidar_range=LIDAR_RANGE, comm_range=70.0)
-    batch = batcher.assemble([dataset[i] for i in range(BATCH)])
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-
     model = build_model({"core_method": "point_pillar_baseline_multiscale",
                          "args": MODEL_ARGS})
     spec = make_anchor_spec(ANCHOR_ARGS, POSTPROCESS["target_args"], "hwl")
+    infer = make_infer_fn(model, spec.anchors, POSTPROCESS)
+
+    batch1 = make_batch(1)
     # jit the init: eager init dispatches one remote compile per op on TPU
     variables = jax.jit(
         lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
-                                                    batch)
-    infer = make_infer_fn(model, spec.anchors, POSTPROCESS)
+                                                    batch1)
 
-    # compile + warmup
-    out = infer(variables, batch)
-    jax.block_until_ready(out)
+    # --- inference sweep ---------------------------------------------------
+    sweep = {}
+    step_time_b1 = None
+    for bs in (1, 2, 4):
+        batch = batch1 if bs == 1 else make_batch(bs)
+        fps, step_time = timed_fps(infer, (variables, batch), bs, iters=30)
+        sweep[f"b{bs}"] = round(fps, 3)
+        if bs == 1:
+            step_time_b1 = step_time
 
-    iters = 30
+    # --- MFU of the B=1 inference program ----------------------------------
+    mfu = None
+    flops = xla_flops(infer, variables, batch1)
+    if flops and step_time_b1:
+        mfu = round(flops / step_time_b1 / PEAK_BF16_FLOPS, 4)
+
+    # --- full train step ---------------------------------------------------
+    loss_fn = build_loss(LOSS_CFG)
+    tx = build_optimizer({"lr": 1e-3, "args": {}}, None)
+    state = create_train_state(model, batch1, tx, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, loss_fn, spec)
+    # non-donating wrapper so repeated timing calls can reuse the state
+    state, _ = step_fn(state, batch1)  # compile + warmup
+    jax.block_until_ready(state.params)
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(variables, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = BATCH * iters / dt
+        state, metrics = step_fn(state, batch1)
+    jax.block_until_ready(state.params)
+    train_fps = iters / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "opv2v_coalign_e2e_frames_per_sec_per_chip",
-        "value": round(fps, 3),
+        "value": sweep["b1"],
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+        "vs_baseline": round(sweep["b1"] / REFERENCE_GPU_FPS, 3),
+        "vs_baseline_note": "reference fps is an estimate, see docstring",
+        "sweep": sweep,
+        "train_frames_per_sec": round(train_fps, 3),
+        "mfu_inference_b1_bf16": mfu,
+        "xla_flops_inference_b1": flops,
     }))
 
 

@@ -35,4 +35,7 @@ def build_loss(cfg: dict):
     if name == "pixor_loss":
         from coalign_tpu.loss.pixor_loss import build_pixor_loss
         return build_pixor_loss(args)
+    if name in ("voxel_net_loss", "voxelnet_loss"):
+        from coalign_tpu.loss.voxelnet_loss import build_voxelnet_loss
+        return build_voxelnet_loss(args)
     raise KeyError(f"unknown loss {name!r}")

@@ -17,6 +17,13 @@ import jax  # noqa: E402
 # The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (VERDICT r1
+# weak #3); repeated runs reuse compiled programs across processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_test_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
