@@ -43,9 +43,12 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
         if dir_preds is None:
             dir_preds = jnp.zeros(out["cls_preds"].shape[:-1]
                                   + (out["cls_preds"].shape[-1] * 2,))
-        return jax.vmap(per_frame)(
+        dets = jax.vmap(per_frame)(
             out["cls_preds"], out["reg_preds"], dir_preds,
             batch["transformation_matrix"])
+        if "comm_rate" in out:  # where2comm bandwidth accounting
+            dets["comm_rate"] = out["comm_rate"]
+        return dets
 
     return infer
 
@@ -158,8 +161,12 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
         infer = make_infer_fn(model, anchors, postprocess_cfg)
     from coalign_tpu.data.prefetch import prefetch
 
+    from coalign_tpu.utils.bandwidth import (frame_comm_bytes,
+                                             summarize_bandwidth)
+
     stat = E.new_result_stat()
     frames = 0
+    comm_bytes = 0.0
     # keep batches host-side (gt matching below is numpy) but assemble the
     # next frames while the device runs this one
     for bidx, batch in enumerate(prefetch(
@@ -167,6 +174,10 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
                             drop_last=False), size=2, to_device=False)):
         dets = infer(variables, {k: jnp.asarray(v) for k, v in batch.items()})
         dets = jax.tree_util.tree_map(np.asarray, dets)
+        comm_bytes += frame_comm_bytes(
+            fusion_method, batch, model=model,
+            max_num=int(postprocess_cfg.get("max_num", 100)),
+            comm_rate=dets.pop("comm_rate", None))
         if npy_dir:
             dump_detections_npy(dets, batch, npy_dir, bidx)
         if vis_dir and bidx % max(vis_interval // batch_size, 1) == 0:
@@ -197,4 +208,5 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
             break
     result = E.eval_final_results(stat)
     result["frames"] = frames
+    result.update(summarize_bandwidth(comm_bytes, frames))
     return result
