@@ -105,6 +105,11 @@ class FpvRcnn(_VoxelBase):
         dets = jax.vmap(per_agent)(
             stage1["cls_preds"], stage1["reg_preds"], dir_preds,
             tfm.reshape(b * l, 4, 4).astype(feat.dtype))
+        # proposals are stage-2 INPUTS, not differentiable outputs: the
+        # reference decodes them under no_grad (fpvrcnn.py:60-74), and
+        # differentiating through decode+NMS box geometry produces NaN
+        # grads on degenerate/padded boxes (sqrt/atan at 0)
+        dets = jax.lax.stop_gradient(dets)
 
         k = max_boxes
         boxes = dets["boxes7"].reshape(b, l * k, 7)
@@ -116,27 +121,96 @@ class FpvRcnn(_VoxelBase):
             bx, sc, vm, self.args.get("matcher_iou", 0.1),
             self.args.get("max_rois", 32)))(boxes, scores, valid)
 
-        # stage 2: pool RoI grids from ego-warped per-agent features
-        h, w, c = feat.shape[1:]
-        affine = normalize_pairwise_tfm(
-            batch["pairwise_t_matrix"].astype(feat.dtype),
-            self.spec.ny // 8, self.spec.nx // 8,
-            self.args["voxel_size"][0] * 8)
-        warped = warp_agents_to_ego(feat.reshape(b, l, h, w, c),
-                                    affine[:, 0], batch["agent_mask"])
-        ego_feat = warped.max(axis=1)                    # (B, H, W, C)
-
         grid_size = self.args.get("roi_grid_size", 6)
         roi_head = RoIHead(hidden=self.args.get("roi_hidden", 256))
+        g = grid_size * grid_size
 
-        def per_frame(f, boxes7):
-            pooled = roi_grid_pool(f, boxes7, self.args["lidar_range"],
-                                   self.args["voxel_size"], 8, grid_size)
-            return pooled
+        if "vsa" in self.args:
+            # stage 2, keypoint path (ref vsa.py:45 + roi_head.py): each
+            # agent FPS-samples keypoints from its raw cloud, features them
+            # from its own BEV map + ball-query grouping over its points
+            # (the num_out_features-dim CPM it transmits), the ego merges
+            # all agents' keypoints and every fused RoI ball-queries the
+            # merged set through a rotated grid.
+            from coalign_tpu.models.vsa import VoxelSetAbstraction
+            from coalign_tpu.ops.pointnet2 import SAModuleMSG
+            from coalign_tpu.ops.roi import (points_in_rotated_boxes,
+                                             roi_grid_points)
+            from coalign_tpu.utils.transforms import project_points
 
-        pooled = jax.vmap(per_frame)(ego_feat, fused["boxes"])
-        r = pooled.shape[1]
-        cls, reg = roi_head(pooled.reshape(b * r, grid_size * grid_size, c),
+            vsa_cfg = self.args["vsa"]
+            vsa = VoxelSetAbstraction(
+                cfg=vsa_cfg, lidar_range=tuple(self.args["lidar_range"]),
+                voxel_size=tuple(self.args["voxel_size"]), bev_stride=8)
+            pts = batch["points"].reshape((b * l,) + batch["points"].shape[2:])
+            pmask = batch["point_mask"].reshape(b * l, -1)
+            kp_xyz, kp_feat, kp_mask = vsa(pts, pmask, bev_feat=feat,
+                                           train=train)
+            # project keypoints to ego (the CPM crossing the channel)
+            nk = kp_xyz.shape[1]
+            kp_ego = jax.vmap(project_points)(
+                kp_xyz, tfm.reshape(b * l, 4, 4).astype(jnp.float32))
+            kp_ego = kp_ego.reshape(b, l * nk, 3)
+            kp_feat = kp_feat.reshape(b, l * nk, kp_feat.shape[-1])
+            kp_mask = (kp_mask.reshape(b, l, nk)
+                       & batch["agent_mask"][:, :, None]).reshape(b, l * nk)
+            # keep keypoints inside (enlarged) stage-1 fused boxes
+            # (ref vsa.py:165-201 kpt_mask2 via points_in_boxes_gpu)
+            if vsa_cfg.get("enlarge_selection_boxes", True):
+                sel = fused["boxes"].at[..., 3:6].add(0.5)
+            else:
+                sel = fused["boxes"]
+
+            def in_any_box(kxyz, boxes7, bmask):
+                inb = points_in_rotated_boxes(kxyz, boxes7)  # (R, N)
+                return (inb & bmask[:, None]).any(axis=0)
+
+            kp_mask = kp_mask & jax.vmap(in_any_box)(
+                kp_ego, sel, fused["mask"])
+
+            # RoI grid points ball-query the merged keypoint set
+            rg = self.args.get("roi_head", {}).get("roi_grid_pool", {})
+            grid_size = int(rg.get("grid_size", grid_size))
+            g = grid_size * grid_size
+            grid_xy = jax.vmap(lambda bx: roi_grid_points(bx, grid_size))(
+                fused["boxes"])                       # (B, R, G, 2)
+            r = grid_xy.shape[1]
+            grid_z = jnp.broadcast_to(
+                fused["boxes"][..., None, 2:3], (b, r, g, 1))
+            new_xyz = jnp.concatenate([grid_xy, grid_z], -1) \
+                .reshape(b, r * g, 3)
+            new_mask = jnp.broadcast_to(
+                fused["mask"][..., None], (b, r, g)).reshape(b, r * g)
+            sa2 = SAModuleMSG(
+                radii=tuple(rg.get("pool_radius", (0.8, 1.6))),
+                nsamples=tuple(rg.get("n_sample", (16, 16))),
+                mlps=tuple(tuple(m) for m in rg.get("mlps",
+                                                    ((64, 64), (64, 64)))))
+            pooled = sa2(new_xyz, new_mask, kp_ego, kp_mask,
+                         feats=kp_feat, train=train)  # (B, R*G, C2)
+            c = pooled.shape[-1]
+            pooled = pooled.reshape(b, r, g, c)
+        else:
+            # stage 2, BEV path: pool RoI grids from ego-warped per-agent
+            # feature maps (the measured-equal TPU alternative,
+            # docs/PARITY.md VSA ablation)
+            h, w, c = feat.shape[1:]
+            affine = normalize_pairwise_tfm(
+                batch["pairwise_t_matrix"].astype(feat.dtype),
+                self.spec.ny // 8, self.spec.nx // 8,
+                self.args["voxel_size"][0] * 8)
+            warped = warp_agents_to_ego(feat.reshape(b, l, h, w, c),
+                                        affine[:, 0], batch["agent_mask"])
+            ego_feat = warped.max(axis=1)                # (B, H, W, C)
+
+            def per_frame(f, boxes7):
+                return roi_grid_pool(f, boxes7, self.args["lidar_range"],
+                                     self.args["voxel_size"], 8, grid_size)
+
+            pooled = jax.vmap(per_frame)(ego_feat, fused["boxes"])
+            r = pooled.shape[1]
+
+        cls, reg = roi_head(pooled.reshape(b * r, g, c),
                             fused["boxes"].reshape(b * r, 7))
         cls = cls.reshape(b, r)
         reg = reg.reshape(b, r, 7)
