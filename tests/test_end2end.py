@@ -89,7 +89,7 @@ def test_overfit_and_detect():
 
     step_fn = make_train_step(model, loss_fn, spec)
     losses = []
-    for i in range(300):
+    for i in range(500):
         state, metrics = step_fn(state, batch0)
         losses.append(float(metrics["total_loss"]))
     assert losses[-1] < losses[0] * 0.05, f"loss did not drop: {losses[::50]}"
@@ -99,10 +99,9 @@ def test_overfit_and_detect():
                       spec.anchors, POSTPROCESS, batch_size=4)
     assert result["frames"] == 4
     assert result["ap30"] > 0.7, f"AP too low after overfit: {result}"
-    # 300-step overfit on 4 frames sits near ap50~0.3; tiny f32
-    # reassociations (e.g. the packed bilinear warp) move it a few points,
-    # so the gate is deliberately loose
-    assert result["ap50"] > 0.2, f"AP too low after overfit: {result}"
+    # 500 steps put ap50 comfortably past the 0.3 regression gate the
+    # round-1 advisor asked to restore (300 steps hovered right at it)
+    assert result["ap50"] > 0.3, f"AP too low after overfit: {result}"
 
 
 def test_train_step_runs_on_mesh():
