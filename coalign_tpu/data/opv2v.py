@@ -183,7 +183,16 @@ class OPV2VBaseDataset:
         agents = []
         all_boxes, all_ids = [], []
         seen = set()
-        for cav_id in cav_list:
+        # all the frame's agent clouds parse concurrently in C++ threads
+        # (the reference's DataLoader-worker parallelism, train.py:42)
+        clouds = None
+        if self.load_lidar and _native is not None:
+            try:
+                clouds = _native.parse_pcd_batch(
+                    [os.path.join(db[c], ts + ".pcd") for c in cav_list])
+            except Exception:
+                clouds = None
+        for ci, cav_id in enumerate(cav_list):
             cav_path = db[cav_id]
             params = _load_params(os.path.join(cav_path, ts + ".yaml"))
             pose = np.asarray(params["lidar_pose"], dtype=np.float32)
@@ -191,8 +200,9 @@ class OPV2VBaseDataset:
                 params.get(self.label_key, {}))
             agent = {"pose": pose, "cav_id": cav_id, "visible_ids": ids}
             if self.load_lidar:
-                agent["points"] = read_pcd(
-                    os.path.join(cav_path, ts + ".pcd"))
+                agent["points"] = (clouds[ci] if clouds is not None
+                                   else read_pcd(
+                                       os.path.join(cav_path, ts + ".pcd")))
             if self.load_camera:
                 agent["cameras"] = self._camera_params(params)
                 agent["camera_files"] = [

@@ -52,6 +52,11 @@ def load():
         lib.transform_points.restype = None
         lib.transform_points.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.c_void_p]
+        lib.parse_pcd_batch.restype = ctypes.c_int64
+        lib.parse_pcd_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64]
         lib.voxelize_pillars.restype = ctypes.c_int64
         lib.voxelize_pillars.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -80,6 +85,30 @@ def parse_pcd(path: str, max_points: int = 200000) -> np.ndarray:
     if n < 0:
         raise IOError(f"parse_pcd failed for {path}")
     return out[:n].copy()
+
+
+def parse_pcd_batch(paths, max_points: int = 200000,
+                    n_threads: int = 0) -> list:
+    """Parse many PCD files in parallel C++ threads (the reference's
+    DataLoader-worker role, ref tools/train.py:42 num_workers=4).
+
+    Returns a list of (N_i, 4) float32 views into one shared buffer (copy
+    before mutating). Raises on the first unreadable file."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError(f"native data plane unavailable: {_build_error}")
+    n = len(paths)
+    if n == 0:
+        return []
+    out = np.empty((n, max_points, 4), dtype=np.float32)
+    counts = np.empty(n, dtype=np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.parse_pcd_batch(arr, n, out.ctypes.data, counts.ctypes.data,
+                        max_points, n_threads)
+    bad = np.nonzero(counts < 0)[0]
+    if len(bad):
+        raise IOError(f"parse_pcd failed for {paths[int(bad[0])]}")
+    return [out[i, :counts[i]] for i in range(n)]
 
 
 def mask_pad_points(points: np.ndarray, lidar_range, max_out: int,

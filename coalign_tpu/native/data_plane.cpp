@@ -17,6 +17,10 @@
 #include <cstdlib>
 #include <cmath>
 
+#include <atomic>
+#include <thread>
+#include <vector>
+
 extern "C" {
 
 // Parse a PCD v0.7 file with fields x y z intensity (binary or ascii).
@@ -183,6 +187,37 @@ void transform_points(float* pts, int64_t n, const float* tfm) {
         pts[i * 4 + 1] = tfm[4] * x + tfm[5] * y + tfm[6] * z + tfm[7];
         pts[i * 4 + 2] = tfm[8] * x + tfm[9] * y + tfm[10] * z + tfm[11];
     }
+}
+
+// Parse a batch of PCD files in parallel worker threads — the role of the
+// reference's num_workers=4 torch DataLoader processes (ref
+// opencood/tools/train.py:42): all of a frame's agent clouds (or a whole
+// batch of frames) parse concurrently while the device runs the previous
+// step. out is (n x max_points x 4), counts is (n) point counts (-1 on a
+// per-file error). Returns the number of files parsed successfully.
+int64_t parse_pcd_batch(const char* const* paths, int64_t n,
+                        float* out, int64_t* counts,
+                        int64_t max_points, int64_t n_threads) {
+    if (n_threads <= 0) {
+        n_threads = static_cast<int64_t>(
+            std::thread::hardware_concurrency());
+        if (n_threads <= 0) n_threads = 4;
+    }
+    if (n_threads > n) n_threads = n;
+    std::atomic<int64_t> next(0), ok(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) return;
+            counts[i] = parse_pcd(paths[i], out + i * max_points * 4,
+                                  max_points);
+            if (counts[i] >= 0) ok.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return ok.load();
 }
 
 }  // extern "C"

@@ -60,11 +60,13 @@ def frame_comm_bytes(fusion_method: str, batch: dict, model=None,
     Returns nan when the transmission volume cannot be derived (custom
     model without an args dict).
     """
+    if "agent_mask" not in batch:
+        return float("nan")
     agent_mask = np.asarray(batch["agent_mask"])  # (B, L)
     links = max(int(agent_mask.sum()) - agent_mask.shape[0], 0)
     if fusion_method == "early":
-        pm = np.asarray(batch["point_mask"])  # (B, L, N)
-        non_ego = pm[:, 1:].sum()
+        pm = np.asarray(batch.get("point_mask", np.zeros((1, 1, 0))))
+        non_ego = pm[:, 1:].sum() if pm.ndim == 3 else 0.0
         return float(non_ego) * 4 * 4.0
     if fusion_method in ("late", "no", "no_w_uncertainty", "single"):
         return links * max_num * 8 * 4.0

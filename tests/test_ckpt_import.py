@@ -52,9 +52,7 @@ def test_reader_matches_torch_load():
     path = os.path.join(GOLDEN, "point_pillar_base.pth")
     ours = load_torch_state_dict(path)
     theirs = torch.load(path, map_location="cpu")
-    assert set(ours) == {k for k in theirs
-                         if not k.endswith("num_batches_tracked")} | {
-        k for k in theirs if k.endswith("num_batches_tracked")}
+    assert set(ours) == set(theirs)
     for k, v in theirs.items():
         np.testing.assert_array_equal(ours[k], v.numpy(), err_msg=k)
 

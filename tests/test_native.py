@@ -61,3 +61,28 @@ def test_transform_points_matches_numpy(rng):
     ref = (xyz1 @ t.T)[:, :3]
     np.testing.assert_allclose(ours[:, :3], ref, atol=1e-4)
     np.testing.assert_allclose(ours[:, 3], pts[:, 3])
+
+
+def test_parse_pcd_batch_parallel(tmp_path, rng):
+    """Threaded batch parse matches per-file parses (DataLoader-worker
+    role, ref tools/train.py:42 num_workers=4)."""
+    paths = []
+    wants = []
+    for i in range(7):
+        pts = rng.normal(size=(100 + 37 * i, 4)).astype(np.float32)
+        p = str(tmp_path / f"b{i}.pcd")
+        write_pcd(p, pts, binary=i % 2 == 0)
+        paths.append(p)
+        wants.append(read_pcd(p))
+    got = native.parse_pcd_batch(paths, max_points=2048, n_threads=3)
+    assert len(got) == 7
+    for g, w in zip(got, wants):
+        np.testing.assert_allclose(g, w, atol=1e-4)
+
+
+def test_parse_pcd_batch_raises_on_missing(tmp_path, rng):
+    pts = rng.normal(size=(10, 4)).astype(np.float32)
+    p = str(tmp_path / "ok.pcd")
+    write_pcd(p, pts, binary=True)
+    with pytest.raises(IOError):
+        native.parse_pcd_batch([p, str(tmp_path / "missing.pcd")])
