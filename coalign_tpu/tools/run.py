@@ -47,6 +47,28 @@ def postprocess_cfg(params: dict) -> dict:
     return post
 
 
+def _backup_source(model_dir: str):
+    """Snapshot the package source into the log dir (ref
+    train_utils.py:16-27 backup_script) so every run is reproducible from
+    its own directory. Stored as one zip to keep log dirs tidy."""
+    import zipfile
+
+    import coalign_tpu
+
+    pkg = os.path.dirname(os.path.abspath(coalign_tpu.__file__))
+    out = os.path.join(model_dir, "scripts_backup.zip")
+    try:
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for name in files:
+                    if name.endswith((".py", ".yaml", ".cpp")):
+                        full = os.path.join(root, name)
+                        zf.write(full, os.path.relpath(full,
+                                                       os.path.dirname(pkg)))
+    except OSError:  # backup must never block training
+        pass
+
+
 def cmd_train(opt):
     from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
     from coalign_tpu.inference import evaluate
@@ -64,6 +86,7 @@ def cmd_train(opt):
         "logs", params.get("name", "exp"))
     os.makedirs(model_dir, exist_ok=True)
     save_yaml(params, os.path.join(model_dir, "config.yaml"))
+    _backup_source(model_dir)
 
     batch0 = batcher.assemble([base[0]])
     tx = build_optimizer(params["optimizer"], params.get("lr_scheduler"),
