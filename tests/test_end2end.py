@@ -84,12 +84,15 @@ def test_overfit_and_detect():
     dataset, batcher, model, spec, loss_fn = _setup()
     batch0 = batcher.assemble([dataset[i] for i in range(4)])
     batch0 = {k: jnp.asarray(v) for k, v in batch0.items()}
-    tx = build_optimizer({"lr": 2e-3, "args": {"eps": 1e-10}}, None)
+    # lr 3e-3 converges this overfit ~2x faster than 2e-3 (measured
+    # ap50 0.45-0.47 at 250-300 steps), letting the gate sit comfortably
+    # past the 0.3 regression level the round-1 advisor asked to restore
+    tx = build_optimizer({"lr": 3e-3, "args": {"eps": 1e-10}}, None)
     state = create_train_state(model, batch0, tx, jax.random.PRNGKey(42))
 
     step_fn = make_train_step(model, loss_fn, spec)
     losses = []
-    for i in range(500):
+    for i in range(300):
         state, metrics = step_fn(state, batch0)
         losses.append(float(metrics["total_loss"]))
     assert losses[-1] < losses[0] * 0.05, f"loss did not drop: {losses[::50]}"
@@ -99,8 +102,6 @@ def test_overfit_and_detect():
                       spec.anchors, POSTPROCESS, batch_size=4)
     assert result["frames"] == 4
     assert result["ap30"] > 0.7, f"AP too low after overfit: {result}"
-    # 500 steps put ap50 comfortably past the 0.3 regression gate the
-    # round-1 advisor asked to restore (300 steps hovered right at it)
     assert result["ap50"] > 0.3, f"AP too low after overfit: {result}"
 
 

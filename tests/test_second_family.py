@@ -183,18 +183,27 @@ def test_voxelnet_loss_matches_reference_semantics():
 
 def test_voxelnet_trains_with_dedicated_loss():
     """VoxelNet + voxel_net_loss decreases loss (ties the dedicated loss
-    into the train step like the yaml wiring does)."""
+    into the train step like the yaml wiring does). Runs on a cropped
+    8 m grid (40x40) to keep the stride-1 dense path cheap."""
+    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
     from coalign_tpu.loss import build_loss
     from coalign_tpu.postprocess.anchors import make_anchor_spec
     from coalign_tpu.train import (build_optimizer, create_train_state,
                                    make_train_step)
 
-    model = build_model({"core_method": "voxel_net", "args": _args()})
-    batch = _batch(num_frames=1, num_agents=1)
+    small_range = [-8.0, -8.0, -3.0, 8.0, 8.0, 1.0]
+    model = build_model({"core_method": "voxel_net",
+                         "args": dict(_args(), lidar_range=small_range)})
+    ds = SyntheticScenes(num_frames=1, num_agents=1, num_objects=2,
+                         lidar_range=small_range, points_per_object=48,
+                         ground_points=128, seed=5)
+    b = IntermediateFusionBatcher(max_cav=1, max_points=512, max_objects=8,
+                                  lidar_range=small_range)
+    batch = {k: jnp.asarray(v) for k, v in b.assemble([ds[0]]).items()}
     # voxel_net heads emit at the full BEV grid -> anchors at stride 1
-    anchor_args = {"W": 80, "H": 80, "l": 3.9, "w": 1.6, "h": 1.56,
+    anchor_args = {"W": 40, "H": 40, "l": 3.9, "w": 1.6, "h": 1.56,
                    "r": [0, 90], "vw": 0.4, "vh": 0.4, "feature_stride": 1,
-                   "cav_lidar_range": LIDAR_RANGE}
+                   "cav_lidar_range": small_range}
     spec = make_anchor_spec(anchor_args, {"pos_threshold": 0.3,
                                           "neg_threshold": 0.2}, "hwl")
     loss_fn = build_loss({"core_method": "voxel_net_loss",
