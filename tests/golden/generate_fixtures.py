@@ -90,7 +90,7 @@ def _make_points(seed, n=300):
     return pts
 
 
-def _voxelize(points):
+def _voxelize(points, batch_idx=0):
     """Reference-equivalent pillar grouping (sp_voxel_preprocessor): pillar
     (ix, iy), features (M, 32, 4) zero-padded, coords (M, 4) [b, z, iy, ix]."""
     vs = TINY_ARGS["voxel_size"]
@@ -104,10 +104,110 @@ def _voxelize(points):
         pad = np.zeros((32, 4), np.float32)
         pad[: len(sel)] = sel
         feats.append(pad)
-        coords.append([0, 0, key % 10000, key // 10000])
+        coords.append([batch_idx, 0, key % 10000, key // 10000])
         nums.append(len(sel))
     return (np.stack(feats), np.asarray(coords, np.int64),
             np.asarray(nums, np.int64))
+
+
+def _se2(dx, dy, yaw):
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0] = np.cos(yaw); m[0, 1] = -np.sin(yaw)
+    m[1, 0] = np.sin(yaw); m[1, 1] = np.cos(yaw)
+    m[0, 3] = dx; m[1, 3] = dy
+    return m
+
+
+def _two_agent_lidar(seed):
+    """Two agents' raw clouds (each in its own frame) + the (1,2,2,4,4)
+    pairwise transform batch the collaborative models consume."""
+    import torch
+
+    ego_pts = _make_points(seed=seed)
+    cav_pts = _make_points(seed=seed + 1, n=260)
+    t01 = _se2(2.0, -1.2, np.deg2rad(20.0))       # cav -> ego
+    pairwise = np.stack([np.stack([np.eye(4, dtype=np.float32), t01]),
+                         np.stack([np.linalg.inv(t01).astype(np.float32),
+                                   np.eye(4, dtype=np.float32)])])[None]
+    f0, c0, n0 = _voxelize(ego_pts, batch_idx=0)
+    f1, c1, n1 = _voxelize(cav_pts, batch_idx=1)
+    torch_in = {
+        "processed_lidar": {
+            "voxel_features": torch.from_numpy(
+                np.concatenate([f0, f1])),
+            "voxel_coords": torch.from_numpy(np.concatenate([c0, c1])),
+            "voxel_num_points": torch.from_numpy(np.concatenate([n0, n1])),
+        },
+        "record_len": torch.tensor([2]),
+        "pairwise_t_matrix": torch.from_numpy(pairwise),
+    }
+    return ego_pts, cav_pts, pairwise, torch_in
+
+
+def gen_multiscale():
+    """The flagship CoAlign model: PointPillarBaselineMultiscale with
+    per-scale att fusion on the ResNet backbone (point_pillar_coalign.py:9
+    aliases it), traced with TWO agents so the warp + per-pixel attention
+    path is pinned, not just the single-agent trunk."""
+    import torch
+
+    from opencood.models.point_pillar_baseline_multiscale import \
+        PointPillarBaselineMultiscale
+
+    args = {**TINY_ARGS,
+            "fusion_method": "att",
+            "att": {"feat_dim": [32, 64]},
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": True}}
+    model = PointPillarBaselineMultiscale(args)
+    _randomize(model, seed=31)
+    model.eval()
+    torch.save(model.state_dict(), os.path.join(HERE, "coalign_multiscale.pth"))
+
+    ego_pts, cav_pts, pairwise, torch_in = _two_agent_lidar(seed=19)
+    with torch.no_grad():
+        out = model(torch_in)
+    np.savez(os.path.join(HERE, "coalign_multiscale_io.npz"),
+             ego_points=ego_pts, cav_points=cav_pts, pairwise=pairwise,
+             cls_preds=out["cls_preds"].numpy(),
+             reg_preds=out["reg_preds"].numpy(),
+             dir_preds=out["dir_preds"].numpy())
+    print("coalign_multiscale: cls", tuple(out["cls_preds"].shape))
+
+
+def gen_uncertainty():
+    """point_pillar_uncertainty.py:15 — the stage-1 model of the CoAlign
+    pipeline (unc_head + no shrink, BaseBEVBackbone)."""
+    import torch
+
+    from opencood.models.point_pillar_uncertainty import PointPillarUncertainty
+
+    args = {**TINY_ARGS, "uncertainty_dim": 3,
+            "base_bev_backbone": {
+                "layer_nums": [2, 2, 2], "layer_strides": [2, 2, 2],
+                "num_filters": [64, 128, 256], "upsample_strides": [1, 2, 4],
+                "num_upsample_filter": [128, 128, 128]}}
+    del args["shrink_header"]
+    model = PointPillarUncertainty(args)
+    _randomize(model, seed=37)
+    model.eval()
+    torch.save(model.state_dict(),
+               os.path.join(HERE, "point_pillar_uncertainty.pth"))
+
+    points = _make_points(seed=41)
+    feats, coords, nums = _voxelize(points)
+    with torch.no_grad():
+        out = model({"processed_lidar": {
+            "voxel_features": torch.from_numpy(feats),
+            "voxel_coords": torch.from_numpy(coords),
+            "voxel_num_points": torch.from_numpy(nums)}})
+    np.savez(os.path.join(HERE, "point_pillar_uncertainty_io.npz"),
+             points=points,
+             cls_preds=out["cls_preds"].numpy(),
+             reg_preds=out["reg_preds"].numpy(),
+             dir_preds=out["dir_preds"].numpy(),
+             unc_preds=out["unc_preds"].numpy())
+    print("point_pillar_uncertainty: unc", tuple(out["unc_preds"].shape))
 
 
 def gen_point_pillar(resnet: bool):
@@ -238,18 +338,28 @@ def gen_anchors_decode():
     print("anchors:", np.asarray(anchors).shape, "boxes:", boxes.shape)
 
 
+GENERATORS = {
+    "point_pillar_resnet": lambda: gen_point_pillar(resnet=True),
+    "point_pillar_base": lambda: gen_point_pillar(resnet=False),
+    "compressor": gen_compressor,
+    "grid_sample": gen_grid_sample,
+    "pairwise_tfm": gen_pairwise_tfm,
+    "anchors_decode": gen_anchors_decode,
+    "multiscale": gen_multiscale,
+    "uncertainty": gen_uncertainty,
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--only", nargs="*", choices=sorted(GENERATORS),
+                    help="generate just these fixtures")
     args = ap.parse_args()
     sys.path.insert(0, args.reference)
     _stub_reference_deps()
-    gen_point_pillar(resnet=True)
-    gen_point_pillar(resnet=False)
-    gen_compressor()
-    gen_grid_sample()
-    gen_pairwise_tfm()
-    gen_anchors_decode()
+    for name in (args.only or GENERATORS):
+        GENERATORS[name]()
 
 
 if __name__ == "__main__":

@@ -102,6 +102,70 @@ def test_point_pillar_base_backbone_checkpoint_reproduces_reference_logits():
     _run_import_parity("base", resnet=False)
 
 
+def test_coalign_multiscale_checkpoint_reproduces_reference_logits():
+    """The FLAGSHIP checkpoint shape: PointPillarBaselineMultiscale with
+    per-scale att fusion (point_pillar_coalign.py:9 aliases it as CoAlign).
+    Two agents -> this pins warp + per-pixel attention + multiscale
+    decode against the recorded reference forward, not just the trunk."""
+    io = np.load(os.path.join(GOLDEN, "coalign_multiscale_io.npz"))
+    args = {**TINY_ARGS,
+            "fusion_method": "att",
+            "att": {"feat_dim": [32, 64]},
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": True}}
+    model = build_model({"core_method": "point_pillar_baseline_multiscale",
+                         "args": args})
+    n = 512
+    points = np.zeros((1, 2, n, 4), np.float32)
+    pmask = np.zeros((1, 2, n), bool)
+    for a, key in enumerate(("ego_points", "cav_points")):
+        pts = io[key]
+        points[0, a, :len(pts)] = pts
+        pmask[0, a, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 2), bool),
+             "pairwise_t_matrix": jnp.asarray(io["pairwise"])}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, "coalign_multiscale.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds", "dir_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(mine, io[key], atol=2e-4, err_msg=key)
+
+
+def test_point_pillar_uncertainty_checkpoint_reproduces_reference_logits():
+    """CoAlign stage-1 detector (point_pillar_uncertainty.py:15): unc_head
+    import + the larger 3-scale BaseBEVBackbone without shrink."""
+    io = np.load(os.path.join(GOLDEN, "point_pillar_uncertainty_io.npz"))
+    args = {k: v for k, v in TINY_ARGS.items() if k != "shrink_header"}
+    args["uncertainty_dim"] = 3
+    args["base_bev_backbone"] = {
+        "layer_nums": [2, 2, 2], "layer_strides": [2, 2, 2],
+        "num_filters": [64, 128, 256], "upsample_strides": [1, 2, 4],
+        "num_upsample_filter": [128, 128, 128], "resnet": False}
+    model = build_model({"core_method": "point_pillar_uncertainty",
+                         "args": args})
+    pts = io["points"]
+    n = 512
+    points = np.zeros((1, 1, n, 4), np.float32)
+    points[0, 0, :len(pts)] = pts
+    pmask = np.zeros((1, 1, n), bool)
+    pmask[0, 0, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 1), bool)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, "point_pillar_uncertainty.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds", "dir_preds", "unc_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        # randomized 3-scale trunk amplifies activations to O(100);
+        # parity is relative (f32 reassociation), not absolute
+        np.testing.assert_allclose(mine, io[key], rtol=2e-3, atol=1e-3,
+                                   err_msg=key)
+
+
 def test_naive_compressor_import_with_bias_fold():
     """Reference NaiveCompressor convs carry bias=True before BN; import
     folds the bias into BN running_mean — eval output must still match."""
