@@ -14,7 +14,10 @@ Differences from the reference (all TPU-motivated, semantics preserved):
     otherwise);
   * time-delay (RTE) and velocity priors are carried as zeros like the
     reference's own wiring (fusion_in_one.py:295-352 passes zero
-    prior_encoding and identity spatial correction).
+    prior_encoding and identity spatial correction);
+  * LayerNorms pin the torch default eps 1e-5 (flax defaults to 1e-6) —
+    at out-of-warp-bounds pixels the feature variance collapses to ~0 and
+    the eps mismatch would dominate the normalized output there.
 """
 
 from __future__ import annotations
@@ -188,7 +191,7 @@ class SplitAttn(nn.Module):
         sw, mw, bw = window_list
         gap = (sw + mw + bw).mean(axis=(2, 3), keepdims=True)  # (B,L,1,1,C)
         gap = nn.Dense(self.input_dim, use_bias=False, name="fc1")(gap)
-        gap = nn.relu(nn.LayerNorm(name="bn1")(gap))
+        gap = nn.relu(nn.LayerNorm(name="bn1", epsilon=1e-5)(gap))
         attn = nn.Dense(self.input_dim * 3, use_bias=False, name="fc2")(gap)
         b, l = attn.shape[:2]
         attn = attn.reshape(b, l, 1, 1, 3, self.input_dim)
@@ -261,7 +264,7 @@ class V2XViTFusion(nn.Module):
         types = None  # prior encoding is zero in the reference wiring
         for _ in range(self.depth):
             for _ in range(self.num_blocks):
-                att_in = nn.LayerNorm()(x)
+                att_in = nn.LayerNorm(epsilon=1e-5)(x)
                 if self.use_hetero:
                     att = HGTCavAttention(self.dim, self.cav_heads,
                                           self.cav_dim_head)(
@@ -270,12 +273,12 @@ class V2XViTFusion(nn.Module):
                     att = CavAttention(self.dim, self.cav_heads,
                                        self.cav_dim_head)(att_in, agent_mask)
                 x = x + att
-                pw_in = nn.LayerNorm()(x)
+                pw_in = nn.LayerNorm(epsilon=1e-5)(x)
                 x = x + PyramidWindowAttention(
                     self.dim, self.pw_heads, self.pw_dim_heads,
                     self.window_sizes, self.relative_pos_embedding,
                     self.pw_fuse_method)(pw_in)
-            ff_in = nn.LayerNorm()(x)
+            ff_in = nn.LayerNorm(epsilon=1e-5)(x)
             ff = nn.Dense(self.mlp_dim)(ff_in)
             ff = nn.gelu(ff)
             ff = nn.Dense(self.dim)(ff)

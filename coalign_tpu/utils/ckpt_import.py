@@ -212,6 +212,256 @@ def _map_compressor(sub: dict, out: _Tree, prefix: str):
             out.bn(f"{path}/MaskedBatchNorm_0", field, v)
 
 
+def _map_pixel_weight(sub: dict, out: _Tree, prefix: str):
+    """ref disco_fuse.py:76 PixelWeightLayer (Conv bias=True + BN x3 then a
+    bare Conv) -> models/fuse/graph_fusion.py PixelWeightLayer (3x bias-free
+    ConvBNReLU + Conv): conv biases fold into the BN running means."""
+    for k, v in sub.items():
+        m = re.match(r"(conv|bn)1_(\d)\.(\w+)$", k)
+        if not m:
+            raise KeyError(f"unrecognized pixel_weight_layer key {k}")
+        part, i, field = m.group(1), int(m.group(2)), m.group(3)
+        if i == 4:  # final conv keeps its bias (no BN follows)
+            out.params[f"{prefix}/Conv_0/{'kernel' if field == 'weight' else 'bias'}"] = (
+                _conv(v) if field == "weight" else v)
+        elif part == "conv":
+            path = f"{prefix}/ConvBNReLU_{i - 1}"
+            if field == "weight":
+                out.params[f"{path}/Conv_0/kernel"] = _conv(v)
+            else:
+                out.fold_bias_into_bn(f"{path}/MaskedBatchNorm_0", v)
+        else:
+            out.bn(f"{prefix}/ConvBNReLU_{i - 1}/MaskedBatchNorm_0", field, v)
+
+
+def _map_v2vnet_fusion(sub: dict, out: _Tree, prefix: str):
+    """ref fusion_in_one.py:173 V2VNetFusion (msg_cnn + 1-layer ConvGRU +
+    channel mlp) -> graph_fusion.py V2VNetFusion."""
+    for k, v in sub.items():
+        if k.startswith("conv_gru.cell_list."):
+            m = re.match(r"conv_gru\.cell_list\.(\d+)\.(conv_gates|conv_can)"
+                         r"\.(weight|bias)$", k)
+            if not m or int(m.group(1)) != 0:
+                raise KeyError(f"only 1-layer ConvGRU supported, got {k}")
+            part, field = m.group(2), m.group(3)
+            out.params[f"{prefix}/conv_gru/{part}/"
+                       f"{'kernel' if field == 'weight' else 'bias'}"] = (
+                _conv(v) if field == "weight" else v)
+        elif k in ("msg_cnn.weight", "msg_cnn.bias"):
+            field = k.split(".")[1]
+            out.params[f"{prefix}/msg_cnn/"
+                       f"{'kernel' if field == 'weight' else 'bias'}"] = (
+                _conv(v) if field == "weight" else v)
+        elif k in ("mlp.weight", "mlp.bias"):
+            field = k.split(".")[1]
+            out.params[f"{prefix}/mlp/"
+                       f"{'kernel' if field == 'weight' else 'bias'}"] = (
+                v.T if field == "weight" else v)
+        else:
+            raise KeyError(f"unrecognized v2vnet fusion key {k}")
+
+
+def _map_v2xvit_fusion(sub: dict, out: _Tree, prefix: str):
+    """ref fusion_in_one.py:295 V2XViTFusion / v2xvit_basic.py V2XTEncoder
+    -> models/fuse/v2xvit.py V2XViTFusion.
+
+    Key facts encoded here (verified against the reference source):
+      * ``encoder.prior_feed`` is DEAD CODE — V2XTEncoder.forward strips the
+        3 prior channels (``x = x[..., :-3]``) and never calls it
+        (v2xvit_basic.py:145,163-166), so its weights are skipped.
+      * flax names index modules globally: for depth d, block b (nb blocks
+        per depth), the HMSA prenorm is LayerNorm_{d*(2nb+1)+2b}, the
+        window prenorm +1, the FF prenorm LayerNorm_{d*(2nb+1)+2nb}; HGT /
+        pyramid modules are numbered d*nb+b and the FF Denses 2d, 2d+1.
+      * per-type HGT linears (k_linears.0/.1 ...) stack into the
+        one-hot-selected (T, in, out) tensors q_w/k_w/v_w/a_w.
+    """
+    dims = [(int(m.group(1)), int(m.group(2)))
+            for k in sub
+            for m in [re.match(r"encoder\.layers\.(\d+)\.0\.layers\.(\d+)\.", k)]
+            if m]
+    if not dims:
+        raise KeyError("v2xvit fusion: no encoder.layers.* keys found")
+    nb = max(b for _, b in dims) + 1
+    typed: dict[tuple, dict] = defaultdict(dict)
+
+    for k, v in sub.items():
+        if k.startswith("encoder.prior_feed."):
+            continue  # dead code in the reference forward
+        m = re.match(r"encoder\.layers\.(\d+)\.1\.(norm|fn\.net)\.?(\d*)"
+                     r"\.(weight|bias)$", k)
+        if m:  # feed-forward branch
+            d, part, j, field = (int(m.group(1)), m.group(2), m.group(3),
+                                 m.group(4))
+            if part == "norm":
+                out.params[f"{prefix}/LayerNorm_{d * (2 * nb + 1) + 2 * nb}/"
+                           f"{'scale' if field == 'weight' else 'bias'}"] = v
+            else:  # net.0 / net.3
+                idx = 2 * d + (0 if int(j) == 0 else 1)
+                out.params[f"{prefix}/Dense_{idx}/"
+                           f"{'kernel' if field == 'weight' else 'bias'}"] = (
+                    v.T if field == "weight" else v)
+            continue
+        m = re.match(r"encoder\.layers\.(\d+)\.0\.layers\.(\d+)\.([01])\.(.+)$",
+                     k)
+        if not m:
+            raise KeyError(f"unrecognized v2xvit key {k}")
+        d, b, slot, rest = (int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                            m.group(4))
+        mod = d * nb + b
+        ln_base = d * (2 * nb + 1) + 2 * b
+        if rest.startswith("norm."):
+            field = rest.split(".")[1]
+            out.params[f"{prefix}/LayerNorm_{ln_base + slot}/"
+                       f"{'scale' if field == 'weight' else 'bias'}"] = v
+        elif slot == 0:  # HGT cav attention
+            hgt = f"{prefix}/HGTCavAttention_{mod}"
+            m2 = re.match(r"fn\.([kqva])_linears\.(\d+)\.(weight|bias)$", rest)
+            if m2:
+                letter, t, field = m2.group(1), int(m2.group(2)), m2.group(3)
+                typed[(hgt, letter, field)][t] = v
+            elif rest in ("fn.relation_att", "fn.relation_msg"):
+                out.params[f"{hgt}/{rest[3:]}"] = v
+            else:
+                raise KeyError(f"unrecognized hmsa key {k}")
+        else:  # pyramid window attention
+            pwa = f"{prefix}/PyramidWindowAttention_{mod}"
+            m2 = re.match(r"fn\.pwmsa\.(\d+)\.(pos_embedding|to_qkv\.weight"
+                          r"|to_out\.0\.(?:weight|bias))$", rest)
+            if m2:
+                s, part = int(m2.group(1)), m2.group(2)
+                wa = f"{pwa}/WindowAttention_{s}"
+                if part == "pos_embedding":
+                    out.params[f"{wa}/pos_embedding"] = v
+                elif part == "to_qkv.weight":
+                    out.params[f"{wa}/to_qkv/kernel"] = v.T
+                elif part == "to_out.0.weight":
+                    out.params[f"{wa}/to_out/kernel"] = v.T
+                else:
+                    out.params[f"{wa}/to_out/bias"] = v
+                continue
+            m2 = re.match(r"fn\.split_attn\.(fc1|fc2|bn1)\.(weight|bias)$",
+                          rest)
+            if not m2:
+                raise KeyError(f"unrecognized pwindow key {k}")
+            part, field = m2.group(1), m2.group(2)
+            sa = f"{pwa}/SplitAttn_0"
+            if part == "bn1":  # torch LayerNorm despite the name
+                out.params[f"{sa}/bn1/"
+                           f"{'scale' if field == 'weight' else 'bias'}"] = v
+            else:
+                out.params[f"{sa}/{part}/kernel"] = v.T
+
+    for (hgt, letter, field), per_type in typed.items():
+        stacked = np.stack([per_type[t] for t in sorted(per_type)])
+        if field == "weight":  # (T, out, in) -> (T, in, out)
+            out.params[f"{hgt}/{letter}_w"] = stacked.transpose(0, 2, 1)
+        else:
+            out.params[f"{hgt}/{letter}_b"] = stacked
+
+
+def _map_cbr(sub: dict, out: _Tree, path: str):
+    """ref when2com_fuse.py conv2DBatchNormRelu (cbr_unit = [Conv bias=True,
+    BN, ReLU]) -> one bias-free ConvBNReLU; conv bias folds into BN mean."""
+    for k, v in sub.items():
+        m = re.match(r"cbr_unit\.([01])\.(\w+)$", k)
+        if not m:
+            raise KeyError(f"unrecognized cbr key {k}")
+        j, field = int(m.group(1)), m.group(2)
+        if j == 0:
+            if field == "weight":
+                out.params[f"{path}/Conv_0/kernel"] = _conv(v)
+            else:
+                out.fold_bias_into_bn(f"{path}/MaskedBatchNorm_0", v)
+        else:
+            out.bn(f"{path}/MaskedBatchNorm_0", field, v)
+
+
+def _map_when2comm_fusion(sub: dict, out: _Tree, prefix: str):
+    """ref fusion_in_one.py:354 When2commFusion (policy_net4 +
+    2x km_generator_v2 + AdditiveAttentin) -> graph_fusion.py
+    When2commFusion.
+
+    * ``attention_net.linear_out`` is DEAD CODE in the reference
+      (AdditiveAttentin.forward computes bmm(k_proj, q_proj^T) and never
+      applies it, when2com_fuse.py:350-355) — skipped.
+    * the km fc1 consumes the (C,5,7) pooled map flattened CHW in torch but
+      HWC here, so its kernel rows are permuted accordingly.
+    """
+    conv_slots = {f"query_key_net.conv{i + 1}.": f"ConvBNReLU_{i}"
+                  for i in range(5)}
+    conv_slots["key_net.conv1."] = "ConvBNReLU_5"
+    conv_slots["query_net.conv1."] = "ConvBNReLU_6"
+    cbr_groups: dict[str, dict] = defaultdict(dict)
+    for k, v in sub.items():
+        hit = next((p for p in conv_slots if k.startswith(p)), None)
+        if hit:
+            cbr_groups[conv_slots[hit]][k[len(hit):]] = v
+            continue
+        m = re.match(r"(key|query)_net\.fc\.([024])\.(weight|bias)$", k)
+        if m:
+            which, j, field = m.group(1), int(m.group(2)), m.group(3)
+            path = f"{prefix}/{which}_fc{j // 2 + 1}"
+            if field == "bias":
+                out.params[f"{path}/bias"] = v
+            elif j == 0:  # CHW-flattened input -> HWC rows
+                o, n = v.shape  # (out, 128*5*7)
+                w = v.reshape(o, 128, 5, 7).transpose(2, 3, 1, 0)
+                out.params[f"{path}/kernel"] = w.reshape(n, o)
+            else:
+                out.params[f"{path}/kernel"] = v.T
+            continue
+        m = re.match(r"attention_net\.linear_(feat|context|out)\.(weight|bias)$",
+                     k)
+        if m:
+            which, field = m.group(1), m.group(2)
+            if which == "out":
+                continue  # dead code in the reference forward
+            path = f"{prefix}/att_{which}"
+            out.params[f"{path}/{'kernel' if field == 'weight' else 'bias'}"] \
+                = v.T if field == "weight" else v
+            continue
+        raise KeyError(f"unrecognized when2comm key {k}")
+    for slot, grp in cbr_groups.items():
+        _map_cbr(grp, out, f"{prefix}/{slot}")
+
+
+def _map_one_fusion(sub: dict, out: _Tree, flax_prefix: str):
+    if any(k.startswith("pixel_weight_layer.") for k in sub):
+        _map_pixel_weight(
+            {k[len("pixel_weight_layer."):]: v for k, v in sub.items()},
+            out, f"{flax_prefix}/PixelWeightLayer_0")
+    elif any(k.startswith("fusion_net.encoder.") for k in sub):
+        # V2XViTFusion wraps V2XTransformer in its own fusion_net attr
+        _map_v2xvit_fusion(
+            {k[len("fusion_net."):]: v for k, v in sub.items()},
+            out, flax_prefix)
+    elif any(k.startswith("query_key_net.") for k in sub):
+        _map_when2comm_fusion(sub, out, flax_prefix)
+    elif any(k.startswith(("msg_cnn.", "conv_gru.", "mlp.")) for k in sub):
+        _map_v2vnet_fusion(sub, out, flax_prefix)
+    else:
+        raise KeyError(
+            f"unsupported fusion module (keys {sorted(sub)[:4]}...) — extend "
+            "coalign_tpu/utils/ckpt_import.py")
+
+
+def _map_fusion(sub: dict, out: _Tree):
+    """ref model attr fusion_net: either ONE fusion module (baseline models,
+    flax path 'fusion') or a ModuleList with one module per backbone scale
+    (multiscale models, flax paths 'fusion_nets_{i}'). Max/att fusion is
+    parameter-free on both sides, so only learned fusions arrive here."""
+    if re.match(r"\d+\.", next(iter(sub))):
+        groups = defaultdict(dict)
+        for k, v in sub.items():
+            i, rest = k.split(".", 1)
+            groups[int(i)][rest] = v
+        for i, g in groups.items():
+            _map_one_fusion(g, out, f"fusion_nets_{i}")
+    else:
+        _map_one_fusion(sub, out, "fusion")
+
+
 _HEAD_RE = re.compile(r"(cls|reg|dir|iou|unc)_head\.(weight|bias)$")
 
 _TOP_LEVEL = {
@@ -238,11 +488,15 @@ def opencood_to_flax(state_dict: dict, target_variables=None):
 
     out = _Tree()
     backbone = {}
+    fusion = {}
     for key, value in state_dict.items():
         if key.endswith("num_batches_tracked"):
             continue
         if key.startswith("backbone."):
             backbone[key[len("backbone."):]] = value
+            continue
+        if key.startswith("fusion_net."):
+            fusion[key[len("fusion_net."):]] = value
             continue
         m = _HEAD_RE.match(key)
         if m:
@@ -261,6 +515,8 @@ def opencood_to_flax(state_dict: dict, target_variables=None):
                            "coalign_tpu/utils/ckpt_import.py")
     if backbone:
         _map_backbone(backbone, out, "backbone", target_params)
+    if fusion:
+        _map_fusion(fusion, out)
     return dict(zip(("params", "batch_stats"), out.finish()))
 
 

@@ -175,6 +175,83 @@ def gen_multiscale():
     print("coalign_multiscale: cls", tuple(out["cls_preds"].shape))
 
 
+def _gen_baseline_fusion(tag, fusion_args, seed):
+    """point_pillar_baseline with a LEARNED fusion module, traced with two
+    agents (ref point_pillar_baseline.py:36-47 fusion dispatch)."""
+    import torch
+
+    from opencood.models.point_pillar_baseline import PointPillarBaseline
+
+    args = {**TINY_ARGS, **fusion_args,
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": False}}
+    model = PointPillarBaseline(args)
+    _randomize(model, seed=seed)
+    model.eval()
+    torch.save(model.state_dict(), os.path.join(HERE, f"{tag}.pth"))
+
+    ego_pts, cav_pts, pairwise, torch_in = _two_agent_lidar(seed=seed + 1)
+    with torch.no_grad():
+        out = model(torch_in)
+    np.savez(os.path.join(HERE, f"{tag}_io.npz"),
+             ego_points=ego_pts, cav_points=cav_pts, pairwise=pairwise,
+             cls_preds=out["cls_preds"].numpy(),
+             reg_preds=out["reg_preds"].numpy(),
+             dir_preds=out["dir_preds"].numpy())
+    print(f"{tag}: cls", tuple(out["cls_preds"].shape))
+
+
+def gen_disconet():
+    _gen_baseline_fusion(
+        "baseline_disconet",
+        {"fusion_method": "disconet", "disconet": {"feat_dim": 64}}, seed=43)
+
+
+def gen_v2vnet():
+    _gen_baseline_fusion(
+        "baseline_v2vnet",
+        {"fusion_method": "v2vnet",
+         "v2vnet": {"in_channels": 64, "num_iteration": 2, "gru_flag": True,
+                    "agg_operator": "avg",
+                    "conv_gru": {"H": 32, "W": 32, "kernel_size": [[3, 3]],
+                                 "num_layers": 1}}}, seed=47)
+
+
+V2XVIT_ARGS = {
+    # ref pointpillar_v2xvit.yaml:113-146, spatially scaled to the tiny
+    # grid; dim MUST be 256 (mswin.py:104 hard-codes SplitAttn(256))
+    "transformer": {"encoder": {
+        "num_blocks": 1, "depth": 3, "use_roi_mask": True,
+        "use_RTE": False, "RTE_ratio": 0, "max_cav": 2,
+        "cav_att_config": {"dim": 256, "use_hetero": True, "use_RTE": False,
+                           "RTE_ratio": 0, "heads": 8, "dim_head": 32,
+                           "dropout": 0.3},
+        "pwindow_att_config": {"dim": 256, "heads": [16, 8, 4],
+                               "dim_head": [16, 32, 64], "dropout": 0.3,
+                               "window_size": [4, 8, 16],
+                               "relative_pos_embedding": True,
+                               "fusion_method": "split_attn"},
+        "feed_forward": {"mlp_dim": 256, "dropout": 0.3},
+        "sttf": {"voxel_size": [0.4, 0.4, 4], "downsample_rate": 4},
+    }}}
+
+
+def gen_v2xvit():
+    _gen_baseline_fusion(
+        "baseline_v2xvit",
+        {"fusion_method": "v2xvit", "v2xvit": V2XVIT_ARGS,
+         "shrink_header": {"kernal_size": [3], "stride": [1], "padding": [1],
+                           "dim": [256], "input_dim": 128}}, seed=53)
+
+
+def gen_when2comm():
+    _gen_baseline_fusion(
+        "baseline_when2comm",
+        {"fusion_method": "when2comm",
+         "when2comm": {"in_channels": 64, "H": 32, "W": 32,
+                       "query_size": 32, "key_size": 256}}, seed=59)
+
+
 def gen_uncertainty():
     """point_pillar_uncertainty.py:15 — the stage-1 model of the CoAlign
     pipeline (unc_head + no shrink, BaseBEVBackbone)."""
@@ -347,6 +424,10 @@ GENERATORS = {
     "anchors_decode": gen_anchors_decode,
     "multiscale": gen_multiscale,
     "uncertainty": gen_uncertainty,
+    "disconet": gen_disconet,
+    "v2vnet": gen_v2vnet,
+    "v2xvit": gen_v2xvit,
+    "when2comm": gen_when2comm,
 }
 
 

@@ -134,6 +134,78 @@ def test_coalign_multiscale_checkpoint_reproduces_reference_logits():
         np.testing.assert_allclose(mine, io[key], atol=2e-4, err_msg=key)
 
 
+def _run_baseline_fusion_parity(tag: str, fusion_args: dict, tol: dict):
+    """Two-agent parity for point_pillar_baseline with a LEARNED fusion
+    (ref point_pillar_baseline.py:36-47): exercises the fusion_net.* key
+    maps (disco pixel-weight MLP, v2vnet msg-CNN/ConvGRU/mlp)."""
+    io = np.load(os.path.join(GOLDEN, f"{tag}_io.npz"))
+    args = {**TINY_ARGS, **fusion_args,
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": False}}
+    model = build_model({"core_method": "point_pillar_baseline",
+                         "args": args})
+    n = 512
+    points = np.zeros((1, 2, n, 4), np.float32)
+    pmask = np.zeros((1, 2, n), bool)
+    for a, key in enumerate(("ego_points", "cav_points")):
+        pts = io[key]
+        points[0, a, :len(pts)] = pts
+        pmask[0, a, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 2), bool),
+             "pairwise_t_matrix": jnp.asarray(io["pairwise"])}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, f"{tag}.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds", "dir_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(mine, io[key], err_msg=key, **tol)
+
+
+def test_disconet_checkpoint_reproduces_reference_logits():
+    _run_baseline_fusion_parity(
+        "baseline_disconet",
+        {"fusion_method": "disconet", "disconet": {"feat_dim": 64}},
+        {"atol": 2e-4})
+
+
+def test_v2vnet_checkpoint_reproduces_reference_logits():
+    _run_baseline_fusion_parity(
+        "baseline_v2vnet",
+        {"fusion_method": "v2vnet",
+         "v2vnet": {"in_channels": 64, "num_iteration": 2, "gru_flag": True,
+                    "agg_operator": "avg",
+                    "conv_gru": {"H": 32, "W": 32, "kernel_size": [[3, 3]],
+                                 "num_layers": 1}}},
+        {"atol": 2e-4})
+
+
+def test_when2comm_checkpoint_reproduces_reference_logits():
+    _run_baseline_fusion_parity(
+        "baseline_when2comm",
+        {"fusion_method": "when2comm",
+         "when2comm": {"in_channels": 64, "H": 32, "W": 32,
+                       "query_size": 32, "key_size": 256}},
+        {"atol": 2e-4})
+
+
+def test_v2xvit_checkpoint_reproduces_reference_logits():
+    """V2X-ViT transformer import: HGT per-type linears (stacked), pyramid
+    window attention, split-attn, feed-forward — the largest fusion key
+    map (~130 keys at depth 3)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(GOLDEN))
+    from generate_fixtures import V2XVIT_ARGS
+    _run_baseline_fusion_parity(
+        "baseline_v2xvit",
+        {"fusion_method": "v2xvit", "v2xvit": V2XVIT_ARGS,
+         "shrink_header": {"kernal_size": [3], "stride": [1], "padding": [1],
+                           "dim": [256], "input_dim": 128}},
+        {"atol": 2e-4})
+
+
 def test_point_pillar_uncertainty_checkpoint_reproduces_reference_logits():
     """CoAlign stage-1 detector (point_pillar_uncertainty.py:15): unc_head
     import + the larger 3-scale BaseBEVBackbone without shrink."""
