@@ -25,6 +25,7 @@ a measurement.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -123,7 +124,7 @@ def xla_flops(jitted, *args):
         return None
 
 
-def main():
+def _setup():
     import jax
     import jax.numpy as jnp
 
@@ -136,13 +137,9 @@ def main():
     except Exception:
         pass
 
-    from coalign_tpu.inference import make_infer_fn
-    from coalign_tpu.loss import build_loss
     from coalign_tpu.models import build_model
     from coalign_tpu.models.layers import set_compute_dtype
     from coalign_tpu.postprocess.anchors import make_anchor_spec
-    from coalign_tpu.train import (build_optimizer, create_train_state,
-                                   make_train_step)
 
     # MXU-native conv dtype (params + BN stats + geometry stay f32)
     set_compute_dtype(jnp.bfloat16)
@@ -150,36 +147,40 @@ def main():
     model = build_model({"core_method": "point_pillar_baseline_multiscale",
                          "args": MODEL_ARGS})
     spec = make_anchor_spec(ANCHOR_ARGS, POSTPROCESS["target_args"], "hwl")
-    infer = make_infer_fn(model, spec.anchors, POSTPROCESS)
+    return model, spec
 
+
+def stage_infer(bs: int):
+    import jax
+
+    from coalign_tpu.inference import make_infer_fn
+
+    model, spec = _setup()
+    infer = make_infer_fn(model, spec.anchors, POSTPROCESS)
     batch1 = make_batch(1)
     # jit the init: eager init dispatches one remote compile per op on TPU
     variables = jax.jit(
         lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
                                                     batch1)
+    batch = batch1 if bs == 1 else make_batch(bs)
+    fps, step_time = timed_fps(infer, (variables, batch), bs, iters=30)
+    flops = xla_flops(infer, variables, batch) if bs == 1 else None
+    return {"fps": round(fps, 3), "step_time": step_time, "flops": flops}
 
-    # --- inference sweep ---------------------------------------------------
-    sweep = {}
-    step_time_b1 = None
-    for bs in (1, 2, 4):
-        batch = batch1 if bs == 1 else make_batch(bs)
-        fps, step_time = timed_fps(infer, (variables, batch), bs, iters=30)
-        sweep[f"b{bs}"] = round(fps, 3)
-        if bs == 1:
-            step_time_b1 = step_time
 
-    # --- MFU of the B=1 inference program ----------------------------------
-    mfu = None
-    flops = xla_flops(infer, variables, batch1)
-    if flops and step_time_b1:
-        mfu = round(flops / step_time_b1 / PEAK_BF16_FLOPS, 4)
+def stage_train():
+    import jax
 
-    # --- full train step ---------------------------------------------------
+    from coalign_tpu.loss import build_loss
+    from coalign_tpu.train import (build_optimizer, create_train_state,
+                                   make_train_step)
+
+    model, spec = _setup()
+    batch1 = make_batch(1)
     loss_fn = build_loss(LOSS_CFG)
     tx = build_optimizer({"lr": 1e-3, "args": {}}, None)
     state = create_train_state(model, batch1, tx, jax.random.PRNGKey(0))
     step_fn = make_train_step(model, loss_fn, spec)
-    # non-donating wrapper so repeated timing calls can reuse the state
     state, _ = step_fn(state, batch1)  # compile + warmup
     jax.block_until_ready(state.params)
     iters = 10
@@ -187,19 +188,73 @@ def main():
     for _ in range(iters):
         state, metrics = step_fn(state, batch1)
     jax.block_until_ready(state.params)
-    train_fps = iters / (time.perf_counter() - t0)
+    return {"train_fps": round(iters / (time.perf_counter() - t0), 3)}
 
-    print(json.dumps({
+
+def _run_stage_subprocess(args: list, timeout: int = 1500):
+    """Run one measurement in a SUBPROCESS: a program that faults the TPU
+    worker (UNAVAILABLE device error) poisons the whole client process, so
+    isolation lets the remaining stages still report."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", *args]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    tail = (out.stderr or "").strip().splitlines()
+    return {"error": tail[-1][:200] if tail else f"rc={out.returncode}"}
+
+
+def main():
+    if "--stage" in sys.argv:
+        i = sys.argv.index("--stage")
+        which = sys.argv[i + 1]
+        if which == "train":
+            print(json.dumps(stage_train()))
+        else:
+            print(json.dumps(stage_infer(int(which.lstrip("b")))))
+        return 0
+
+    sweep, errors = {}, {}
+    step_time_b1 = flops = None
+    for bs in (1, 2, 4):
+        res = _run_stage_subprocess([f"b{bs}"])
+        if "fps" in res:
+            sweep[f"b{bs}"] = res["fps"]
+            if bs == 1:
+                step_time_b1, flops = res["step_time"], res.get("flops")
+        else:
+            sweep[f"b{bs}"] = None
+            errors[f"b{bs}"] = res.get("error", "unknown")
+    mfu = (round(flops / step_time_b1 / PEAK_BF16_FLOPS, 4)
+           if flops and step_time_b1 else None)
+    train_res = _run_stage_subprocess(["train"])
+
+    out = {
         "metric": "opv2v_coalign_e2e_frames_per_sec_per_chip",
         "value": sweep["b1"],
         "unit": "frames/s",
-        "vs_baseline": round(sweep["b1"] / REFERENCE_GPU_FPS, 3),
+        "vs_baseline": (round(sweep["b1"] / REFERENCE_GPU_FPS, 3)
+                        if sweep["b1"] else None),
         "vs_baseline_note": "reference fps is an estimate, see docstring",
         "sweep": sweep,
-        "train_frames_per_sec": round(train_fps, 3),
+        "train_frames_per_sec": train_res.get("train_fps"),
         "mfu_inference_b1_bf16": mfu,
         "xla_flops_inference_b1": flops,
-    }))
+    }
+    if errors or "error" in train_res:
+        if "error" in train_res:
+            errors["train"] = train_res["error"]
+        out["stage_errors"] = errors
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":

@@ -9,8 +9,6 @@ round-trips — the reference does shapely NMS on CPU mid-pipeline.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,9 +66,10 @@ def correct_direction(boxes7, dir_logits, dir_offset: float, num_bins: int):
     return jnp.concatenate([boxes7[..., :6], yaw[..., None]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("score_threshold", "nms_threshold",
-                                   "prefilter_k", "max_keep", "dir_offset",
-                                   "num_bins", "gt_range"))
+# NOT jitted: this always runs inside the caller's jit (make_infer_fn,
+# evaluate). A nested jit here changed the lowering enough that the fused
+# B>1 forward+postprocess program repeatably faulted the v5e worker on the
+# axon stack — the same ops inlined into the outer jit compile clean.
 def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
                        dir_preds=None, iou_preds=None, unc_preds=None, *,
                        score_threshold: float, nms_threshold: float,
@@ -147,7 +146,10 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
                     sel_scores[:, None]]
     if sel_unc is not None:
         ranked_parts.append(sel_unc)
-    ranked = jnp.concatenate(ranked_parts, axis=-1)[order][:max_keep]
+    # gather only the top max_keep rows: cheaper than ranking all P rows,
+    # and the P-row gather fused after the B>1 forward repeatably faulted
+    # the v5e worker (axon stack) — the narrow gather compiles clean
+    ranked = jnp.concatenate(ranked_parts, axis=-1)[order[:max_keep]]
     keep = keep_mask[:max_keep]
     out = {
         "corners3d": ranked[:, :24].reshape(-1, 8, 3) * keep[:, None, None],
