@@ -70,7 +70,11 @@ class _VoxelBase(nn.Module):
             mask = mask.reshape((-1,) + mask.shape[2:])
         grid, _ = jax.vmap(lambda p, m: mean_voxelize(p, m, self.spec))(
             points, mask)
-        return grid
+        # spconv pads the sparse z extent by one empty slice
+        # (ref sparse_backbone_3d.py:39 ``grid_size[::-1] + [1, 0, 0]``);
+        # matching it keeps every downstream conv shape — and therefore the
+        # height-compressed channel count — checkpoint-compatible.
+        return jnp.pad(grid, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
 
     def _bev_features(self, batch, train):
         """Voxelize -> 3D backbone -> height compression -> (F, H/8, W/8, C)."""

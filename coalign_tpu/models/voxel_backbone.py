@@ -63,35 +63,54 @@ class VoxelBackbone8x(nn.Module):
             y = Conv3DBNReLU(feats)(x, train=train)
             return y * occ if self.submanifold_mask else y
 
+        def dilate(occ, kernel, stride, pad):
+            """Active-set propagation of a strided sparse conv: an output
+            site is active iff ANY input site in its receptive field is
+            (spconv SparseConv3d index semantics) — a max-pool with the
+            SAME kernel/stride/padding as the conv."""
+            if not self.submanifold_mask:
+                return None
+            return nn.max_pool(occ, kernel, strides=stride,
+                               padding=[(p, p) for p in pad])
+
+        def strided(x, feats, occ_next, pad=(1, 1, 1)):
+            y = Conv3DBNReLU(feats, stride=(2, 2, 2), padding=pad)(
+                x, train=train)
+            return y * occ_next if occ_next is not None else y
+
         x = subm(x, 16, occ)
         x1 = subm(x, 16, occ)
 
-        x = Conv3DBNReLU(32, stride=(2, 2, 2))(x1, train=train)
-        occ2 = nn.max_pool(occ, (2, 2, 2), strides=(2, 2, 2))
+        occ2 = dilate(occ, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        x = strided(x1, 32, occ2)
         x = subm(x, 32, occ2)
         x2 = subm(x, 32, occ2)
 
-        x = Conv3DBNReLU(64, stride=(2, 2, 2))(x2, train=train)
-        occ3 = nn.max_pool(occ2, (2, 2, 2), strides=(2, 2, 2))
+        occ3 = dilate(occ2, (3, 3, 3), (2, 2, 2), (1, 1, 1))
+        x = strided(x2, 64, occ3)
         x = subm(x, 64, occ3)
         x3 = subm(x, 64, occ3)
 
-        # stage-4 z handling is adaptive: the reference assumes nz=41
-        # (41->21->11->5->2); small test grids must not collapse to depth 0.
+        # stage-4 z padding matches the reference's (0, 1, 1) when the
+        # depth allows ((41->...->11)-3)//2+1 = 5; tiny test grids pad to
+        # keep depth >= 1.
         d3 = x3.shape[1]
         pz = 0 if (d3 - 3) // 2 + 1 >= 1 else 1
-        x = Conv3DBNReLU(64, stride=(2, 2, 2),
-                         padding=(pz, 1, 1))(x3, train=train)
-        x = Conv3DBNReLU(64)(x, train=train)
-        x4 = Conv3DBNReLU(64)(x, train=train)
+        occ4 = dilate(occ3, (3, 3, 3), (2, 2, 2), (pz, 1, 1))
+        x = strided(x3, 64, occ4, pad=(pz, 1, 1))
+        x = subm(x, 64, occ4)
+        x4 = subm(x, 64, occ4)
 
         # z squash: strided conv over depth only (ref conv_out)
         d4 = x4.shape[1]
         kz = min(3, d4)
         sz = 2 if d4 > kz else 1
+        occ_out = dilate(occ4, (kz, 1, 1), (sz, 1, 1), (0, 0, 0))
         out = Conv3DBNReLU(self.out_features, kernel=(kz, 1, 1),
                            stride=(sz, 1, 1), padding=(0, 0, 0))(x4,
                                                                  train=train)
+        if occ_out is not None:
+            out = out * occ_out
         return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
                 "out": out}
 
@@ -127,7 +146,10 @@ class SSFA(nn.Module):
         t1 = ConvBNReLU(2 * f, 1, 1, 0)(x1, train=train)
 
         def deconv(y):
+            # torch ConvTranspose2d(k3, s2, p1, output_padding=1) == lax
+            # transposed conv with (lo, hi) = (k-1-p, k-1-p+op) = (1, 2)
             y = nn.ConvTranspose(f, (3, 3), strides=(2, 2),
+                                 padding=[(1, 2), (1, 2)],
                                  use_bias=False)(y)
             y = MaskedBatchNorm()(y, train=train)
             return nn.relu(y)

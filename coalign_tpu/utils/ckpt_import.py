@@ -464,6 +464,152 @@ def _map_fusion(sub: dict, out: _Tree):
 
 _HEAD_RE = re.compile(r"(cls|reg|dir|iou|unc)_head\.(weight|bias)$")
 
+# ref sparse_backbone_3d.py:33 VoxelBackBone8x block order -> flax
+# models/voxel_backbone.py Conv3DBNReLU creation order
+_SECOND_3D_SLOTS = {
+    "conv_input": 0, "conv1.0": 1,
+    "conv2.0": 2, "conv2.1": 3, "conv2.2": 4,
+    "conv3.0": 5, "conv3.1": 6, "conv3.2": 7,
+    "conv4.0": 8, "conv4.1": 9, "conv4.2": 10,
+    "conv_out": 11,
+}
+
+
+def _conv3d_weight(w, target):
+    """spconv sparse-conv weight -> flax (kd, kh, kw, in, out).
+
+    spconv 1.x (the version the published reference checkpoints use)
+    stores (kd, kh, kw, in, out) — a direct copy; spconv 2.x stores
+    (out, kd, kh, kw, in). Disambiguated against the target shape when
+    known, else spconv1 is assumed.
+    """
+    if target is not None and tuple(w.shape) != tuple(target.shape):
+        return np.transpose(w, (1, 2, 3, 4, 0))  # spconv2 -> flax
+    return w
+
+
+_SSFA_CONV_SLOTS = {
+    # torch Sequential (module, conv index) -> flax SSFA ConvBNReLU index
+    # (ZeroPad2d at bottom_up_block_0[0] shifts that block's indices)
+    ("bottom_up_block_0", 1): 0, ("bottom_up_block_0", 4): 1,
+    ("bottom_up_block_0", 7): 2,
+    ("bottom_up_block_1", 0): 3, ("bottom_up_block_1", 3): 4,
+    ("bottom_up_block_1", 6): 5,
+    ("trans_0", 0): 6, ("trans_1", 0): 7,
+    ("conv_0", 0): 8, ("conv_1", 0): 9,
+}
+
+_SSFA_HEAD_NAMES = {"conv_cls": "cls_head", "conv_box": "reg_head",
+                    "conv_dir": "dir_head", "conv_iou": "iou_head"}
+
+
+def _map_ssfa(sub: dict, out: _Tree, prefix: str):
+    """ref cia_ssd_utils.py:6 SSFA -> voxel_backbone.py SSFA. Deconvs use
+    the torch ConvTranspose2d(k3, s2, p1, op1) convention (kernel flip via
+    _tconv, flax padding (1, 2)); w_0/w_1 are conv(bias=False)+BN pairs."""
+    for k, v in sub.items():
+        m = re.match(r"(\w+)\.(\d+)\.(\w+)$", k)
+        if not m:
+            raise KeyError(f"unrecognized ssfa key {k}")
+        mod, j, field = m.group(1), int(m.group(2)), m.group(3)
+        if mod.startswith("deconv_block"):
+            i = int(mod[-1])
+            if j == 0:
+                out.params[f"{prefix}/ConvTranspose_{i}/kernel"] = _tconv(v)
+            else:
+                out.bn(f"{prefix}/MaskedBatchNorm_{i}", field, v)
+        elif mod.startswith("w_"):
+            i = int(mod[-1])
+            if j == 0:
+                out.params[f"{prefix}/Conv_{i}/kernel"] = _conv(v)
+            else:
+                out.bn(f"{prefix}/MaskedBatchNorm_{2 + i}", field, v)
+        else:
+            # conv at base index, BN at base+1 within each (conv, BN, ReLU)
+            base_candidates = [(mod, j), (mod, j - 1)]
+            slot = next((_SSFA_CONV_SLOTS[c] for c in base_candidates
+                         if c in _SSFA_CONV_SLOTS), None)
+            if slot is None:
+                raise KeyError(f"unrecognized ssfa key {k}")
+            path = f"{prefix}/ConvBNReLU_{slot}"
+            if (mod, j) in _SSFA_CONV_SLOTS:  # the conv itself
+                out.params[f"{path}/Conv_0/kernel"] = _conv(v)
+            else:  # the BN right after it
+                out.bn(f"{path}/MaskedBatchNorm_0", field, v)
+
+
+def _map_second_family(state_dict: dict, out: _Tree, target_params):
+    """ref second.py:14 / second_ssfa.py:16 / ciassd.py trunk keys -> the
+    @nn.compact-named flax tree (VoxelBackbone8x_0 / BaseBEVBackbone_0 or
+    SSFA_0 / DetectionHeads_0). The first 2D conv consumes the
+    height-compressed grid, flattened C-major by torch
+    (height_compression.py:24 view) but D-major here
+    (voxel_backbone.height_compression) — its kernel input rows are
+    permuted accordingly."""
+    backbone2d = {}
+    ssfa = {}
+    c3d_out = None
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        # second_ssfa.py names the 3D trunk spconv_block and the heads
+        # conv_{cls,box,iou,dir} under head.
+        key = key.replace("spconv_block.", "backbone_3d.", 1)
+        if key.startswith("backbone_2d."):
+            backbone2d[key[len("backbone_2d."):]] = value
+            continue
+        if key.startswith("ssfa."):
+            ssfa[key[len("ssfa."):]] = value
+            continue
+        m = re.match(r"head\.(conv_cls|conv_box|conv_iou|conv_dir)"
+                     r"\.(weight|bias)$", key)
+        if m:
+            path = f"DetectionHeads_0/{_SSFA_HEAD_NAMES[m.group(1)]}"
+            if m.group(2) == "weight":
+                out.params[f"{path}/kernel"] = _conv(value)
+            else:
+                out.params[f"{path}/bias"] = value
+            continue
+        m = _HEAD_RE.match(key)
+        if m:
+            name, field = m.groups()
+            path = f"DetectionHeads_0/{name}_head"
+            if field == "weight":
+                out.params[f"{path}/kernel"] = _conv(value)
+            else:
+                out.params[f"{path}/bias"] = value
+            continue
+        m = re.match(r"backbone_3d\.(conv_input|conv_out|conv\d\.\d)"
+                     r"\.([01])\.(\w+)$", key)
+        if not m:
+            raise KeyError(f"unmapped second-family key {key!r} — extend "
+                           "coalign_tpu/utils/ckpt_import.py")
+        slot = _SECOND_3D_SLOTS[m.group(1)]
+        path = f"VoxelBackbone8x_0/Conv3DBNReLU_{slot}"
+        if int(m.group(2)) == 0:
+            tkey = f"{path}/Conv_0/kernel"
+            target = None if target_params is None else target_params.get(tkey)
+            out.params[tkey] = _conv3d_weight(value, target)
+        else:
+            out.bn(f"{path}/MaskedBatchNorm_0", m.group(3), value)
+            if m.group(1) == "conv_out" and m.group(3) == "weight":
+                c3d_out = len(value)
+    first = None
+    if backbone2d:
+        _map_backbone(backbone2d, out, "BaseBEVBackbone_0", target_params)
+        first = "BaseBEVBackbone_0/stages_0/ConvBNReLU_0/Conv_0/kernel"
+    if ssfa:
+        _map_ssfa(ssfa, out, "SSFA_0")
+        first = "SSFA_0/ConvBNReLU_0/Conv_0/kernel"
+    if first and c3d_out and first in out.params:
+        # C-major (torch) -> D-major (here) height-compression row permute
+        w = out.params[first]  # (kh, kw, C*D, O)
+        kh, kw, cd, o = w.shape
+        d = cd // c3d_out
+        if d > 1:
+            out.params[first] = w.reshape(kh, kw, c3d_out, d, o).transpose(
+                0, 1, 3, 2, 4).reshape(kh, kw, cd, o)
+
 _TOP_LEVEL = {
     "pillar_vfe.pfn_layers.": ("encoder", _map_pfn),
     "shrink_conv.": ("shrink", _map_shrink),
@@ -487,6 +633,10 @@ def opencood_to_flax(state_dict: dict, target_variables=None):
             target_variables["params"]).items()}
 
     out = _Tree()
+    if any(k.startswith(("backbone_3d.", "spconv_block."))
+           for k in state_dict):
+        _map_second_family(state_dict, out, target_params)
+        return dict(zip(("params", "batch_stats"), out.finish()))
     backbone = {}
     fusion = {}
     for key, value in state_dict.items():

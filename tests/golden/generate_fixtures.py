@@ -252,6 +252,225 @@ def gen_when2comm():
                        "query_size": 32, "key_size": 256}}, seed=59)
 
 
+SECOND_ARGS = {
+    "voxel_size": [0.4, 0.4, 0.1],
+    "lidar_range": [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0],
+    "anchor_number": 2,
+    "mean_vfe": {"num_point_features": 4},
+    "backbone_3d": {"num_features_out": 128},
+    "height_compression": {"feature_num": 256},
+    "base_bev_backbone": {"layer_nums": [2, 2], "layer_strides": [1, 2],
+                          "num_filters": [64, 128], "upsample_strides": [1, 2],
+                          "num_upsample_filter": [128, 128]},
+}
+
+
+def _backbone3d_emu_cls():
+    """Dense torch emulation of spconv's documented semantics
+    (ref sparse_backbone_3d.py:33 VoxelBackBone8x):
+      * SubMConv3d: conv output valid only at input-active sites;
+      * SparseConv3d: output active set = receptive-field dilation of the
+        input active set (max-pool with the conv's kernel/stride/padding);
+      * BatchNorm1d over active-site features == per-channel eval affine;
+      * sparse z extent padded by one empty slice (:39).
+    State-dict key paths match real reference checkpoints.
+    """
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def cbr3(ci, co, k=3, s=1, p=1):
+        return nn.Sequential(
+            nn.Conv3d(ci, co, k, stride=s, padding=p, bias=False),
+            nn.BatchNorm1d(co, eps=1e-3, momentum=0.01), nn.ReLU())
+
+    class Backbone3DEmu(nn.Module):
+        def __init__(self, c_in, c_out):
+            super().__init__()
+            self.conv_input = cbr3(c_in, 16)
+            self.conv1 = nn.Sequential(cbr3(16, 16))
+            self.conv2 = nn.Sequential(cbr3(16, 32, s=2), cbr3(32, 32),
+                                       cbr3(32, 32))
+            self.conv3 = nn.Sequential(cbr3(32, 64, s=2), cbr3(64, 64),
+                                       cbr3(64, 64))
+            self.conv4 = nn.Sequential(cbr3(64, 64, s=2, p=(0, 1, 1)),
+                                       cbr3(64, 64), cbr3(64, 64))
+            self.conv_out = cbr3(64, c_out, k=(3, 1, 1), s=(2, 1, 1), p=0)
+
+        @staticmethod
+        def _block(blk, x, occ, subm=True):
+            conv, bn, _ = blk
+            y = conv(x)
+            sh = (1, -1, 1, 1, 1)
+            y = ((y - bn.running_mean.view(sh))
+                 / torch.sqrt(bn.running_var.view(sh) + bn.eps)
+                 * bn.weight.view(sh) + bn.bias.view(sh))
+            y = F.relu(y)
+            if not subm:
+                occ = F.max_pool3d(occ, conv.kernel_size, conv.stride,
+                                   conv.padding)
+            return y * occ, occ
+
+        def forward(self, x, occ):
+            x, occ = self._block(self.conv_input, x, occ)
+            x, occ = self._block(self.conv1[0], x, occ)
+            for stage in (self.conv2, self.conv3, self.conv4):
+                x, occ = self._block(stage[0], x, occ, subm=False)
+                x, occ = self._block(stage[1], x, occ)
+                x, occ = self._block(stage[2], x, occ)
+            x, occ = self._block(self.conv_out, x, occ, subm=False)
+            return x
+
+    return Backbone3DEmu
+
+
+def _second_grid(args, seed):
+    """Dense (1, 4, D+1, H, W) mean-voxel grid + occupancy from random
+    points (the +1 z pad mirrors sparse_shape)."""
+    import torch
+
+    vs, lr = args["voxel_size"], args["lidar_range"]
+    nx = round((lr[3] - lr[0]) / vs[0])
+    ny = round((lr[4] - lr[1]) / vs[1])
+    nz = round((lr[5] - lr[2]) / vs[2])
+    pts = _make_points(seed=seed, n=400)
+    ix = np.floor((pts[:, 0] - lr[0]) / vs[0]).astype(int)
+    iy = np.floor((pts[:, 1] - lr[1]) / vs[1]).astype(int)
+    iz = np.floor((pts[:, 2] - lr[2]) / vs[2]).astype(int)
+    grid = np.zeros((1, 4, nz + 1, ny, nx), np.float32)
+    cnt = np.zeros((nz + 1, ny, nx), np.float32)
+    for p, (x, y, z) in zip(pts, zip(ix, iy, iz)):
+        grid[0, :, z, y, x] += p
+        cnt[z, y, x] += 1
+    nz_mask = cnt > 0
+    grid[0, :, nz_mask] /= cnt[nz_mask, None]
+    occ = torch.from_numpy((cnt > 0)[None, None].astype(np.float32))
+    return grid, occ, pts
+
+
+def gen_second():
+    """SECOND family fixture: Backbone3DEmu (see _backbone3d_emu_cls) with
+    the spconv1 weight layout (kd,kh,kw,in,out) + the REAL reference
+    BaseBEVBackbone, traced end to end."""
+    import torch
+    import torch.nn as nn
+
+    from opencood.models.sub_modules.base_bev_backbone import BaseBEVBackbone
+
+    Backbone3DEmu = _backbone3d_emu_cls()
+
+    class SecondEmu(nn.Module):
+        def __init__(self, args):
+            super().__init__()
+            self.backbone_3d = Backbone3DEmu(4, args["backbone_3d"]
+                                             ["num_features_out"])
+            self.backbone_2d = BaseBEVBackbone(args["base_bev_backbone"],
+                                               256)
+            out_c = sum(args["base_bev_backbone"]["num_upsample_filter"])
+            self.cls_head = nn.Conv2d(out_c, args["anchor_number"], 1)
+            self.reg_head = nn.Conv2d(out_c, 7 * args["anchor_number"], 1)
+
+    args = SECOND_ARGS
+    model = SecondEmu(args)
+    _randomize(model, seed=61)
+    # BatchNorm1d modules aren't hit by _randomize's 2d/1d isinstance list
+    # when wrapped oddly; ensure all running stats are randomized
+    g = torch.Generator().manual_seed(62)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.05)
+                m.running_var.copy_(1.0 + 0.3 * torch.rand(
+                    m.running_var.shape, generator=g))
+    model.eval()
+
+    # save with spconv1 weight layout (kd, kh, kw, in, out) for the 3D convs
+    sd = {k: v.clone() for k, v in model.state_dict().items()}
+    for k in list(sd):
+        if k.startswith("backbone_3d.") and k.endswith(".0.weight"):
+            sd[k] = sd[k].permute(2, 3, 4, 1, 0).contiguous()
+    torch.save(sd, os.path.join(HERE, "second.pth"))
+
+    grid, occ, pts = _second_grid(args, seed=63)
+
+    with torch.no_grad():
+        feat3d = model.backbone_3d(torch.from_numpy(grid), occ)
+        n, c, d, h, w = feat3d.shape
+        bev = feat3d.view(n, c * d, h, w)  # C-major like HeightCompression
+        out2d = model.backbone_2d({"spatial_features": bev})
+        feats = out2d["spatial_features_2d"]
+        cls_preds = model.cls_head(feats)
+        reg_preds = model.reg_head(feats)
+    np.savez(os.path.join(HERE, "second_io.npz"),
+             points=pts,
+             cls_preds=cls_preds.numpy(), reg_preds=reg_preds.numpy())
+    print("second: cls", tuple(cls_preds.shape))
+
+
+SSFA_ARGS = {
+    "voxel_size": [0.4, 0.4, 0.1],
+    "lidar_range": [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0],
+    "anchor_number": 2,
+    "mean_vfe": {"num_point_features": 4},
+    "backbone_3d": {"num_features_out": 64},
+    "ssfa": {"feature_num": 128},
+    "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
+}
+
+
+def gen_second_ssfa():
+    """SECOND-SSFA / CIA-SSD fixture (ref second_ssfa.py:16): the
+    Backbone3DEmu dense spconv emulation (see gen_second) + the REAL
+    reference SSFA and Head modules (cia_ssd_utils.py — pure torch)."""
+    import torch
+
+    from opencood.models.sub_modules.cia_ssd_utils import SSFA, Head
+
+    Backbone3DEmu = _backbone3d_emu_cls()
+
+    class SecondSSFAEmu(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.spconv_block = Backbone3DEmu(4, 64)
+            self.ssfa = SSFA({"feature_num": 128})
+            self.head = Head(num_input=128, num_pred=14, num_cls=2,
+                             num_iou=2, use_dir=True, num_dir=4)
+
+    model = SecondSSFAEmu()
+    _randomize(model, seed=67)
+    g = torch.Generator().manual_seed(68)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.05)
+                m.running_var.copy_(1.0 + 0.3 * torch.rand(
+                    m.running_var.shape, generator=g))
+    model.eval()
+
+    sd = {k: v.clone() for k, v in model.state_dict().items()}
+    for k in list(sd):
+        if k.startswith("spconv_block.") and k.endswith(".0.weight"):
+            sd[k] = sd[k].permute(2, 3, 4, 1, 0).contiguous()
+    torch.save(sd, os.path.join(HERE, "second_ssfa.pth"))
+
+    grid, occ, pts = _second_grid(SSFA_ARGS, seed=69)
+    with torch.no_grad():
+        feat3d = model.spconv_block(torch.from_numpy(grid), occ)
+        n, c, d, h, w = feat3d.shape
+        bev = feat3d.view(n, c * d, h, w)
+        feats = model.ssfa(bev)
+        out = model.head(feats)
+    np.savez(os.path.join(HERE, "second_ssfa_io.npz"),
+             points=pts,
+             cls_preds=out["cls_preds"].numpy(),
+             reg_preds=out["reg_preds"].numpy(),
+             dir_preds=out["dir_preds"].numpy(),
+             iou_preds=out["iou_preds"].numpy())
+    print("second_ssfa: cls", tuple(out["cls_preds"].shape))
+
+
 def gen_uncertainty():
     """point_pillar_uncertainty.py:15 — the stage-1 model of the CoAlign
     pipeline (unc_head + no shrink, BaseBEVBackbone)."""
@@ -428,6 +647,8 @@ GENERATORS = {
     "v2vnet": gen_v2vnet,
     "v2xvit": gen_v2xvit,
     "when2comm": gen_when2comm,
+    "second": gen_second,
+    "second_ssfa": gen_second_ssfa,
 }
 
 

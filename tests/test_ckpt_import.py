@@ -181,6 +181,72 @@ def test_v2vnet_checkpoint_reproduces_reference_logits():
         {"atol": 2e-4})
 
 
+def test_second_checkpoint_reproduces_reference_logits():
+    """SECOND family import: spconv1-layout 3D backbone weights onto the
+    dense masked VoxelBackbone8x, the C-major/D-major height-compression
+    permute, and the @nn.compact-named trunk. The recorded activations come
+    from a dense torch emulation of spconv's documented active-site
+    semantics (tests/golden/generate_fixtures.py gen_second — spconv itself
+    is not installable here)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(GOLDEN))
+    from generate_fixtures import SECOND_ARGS
+    io = np.load(os.path.join(GOLDEN, "second_io.npz"))
+    model = build_model({"core_method": "second", "args": dict(SECOND_ARGS)})
+    pts = io["points"]
+    n = 512
+    points = np.zeros((1, 1, n, 4), np.float32)
+    points[0, 0, :len(pts)] = pts
+    pmask = np.zeros((1, 1, n), bool)
+    pmask[0, 0, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 1), bool)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, "second.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        # randomized deep trunk amplifies activations to O(100); parity is
+        # relative (f32 reassociation), not absolute
+        np.testing.assert_allclose(mine, io[key], rtol=2e-3, atol=1e-3,
+                                   err_msg=key)
+
+
+def test_second_ssfa_checkpoint_reproduces_reference_logits():
+    """CIA-SSD / SECOND-SSFA import (ref second_ssfa.py:16): the SSFA trunk
+    map (deconv k3s2p1op1 convention, w_0/w_1 conv+BN attention weights)
+    + conv_{cls,box,iou,dir} head renames."""
+    import sys
+
+    sys.path.insert(0, os.path.join(GOLDEN))
+    from generate_fixtures import SSFA_ARGS
+    io = np.load(os.path.join(GOLDEN, "second_ssfa_io.npz"))
+    model = build_model({"core_method": "second_ssfa",
+                         "args": dict(SSFA_ARGS)})
+    pts = io["points"]
+    n = 512
+    points = np.zeros((1, 1, n, 4), np.float32)
+    points[0, 0, :len(pts)] = pts
+    pmask = np.zeros((1, 1, n), bool)
+    pmask[0, 0, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((1, 1), bool)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, "second_ssfa.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds", "dir_preds", "iou_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        # the deep randomized trunk amplifies activations to O(1e4) and
+        # this jaxlib's CPU convs default to a reduced-precision path
+        # (~1e-3 relative per conv; verified with Precision.HIGHEST) —
+        # parity here is relative
+        np.testing.assert_allclose(mine, io[key], rtol=5e-3, atol=1e-3,
+                                   err_msg=key)
+
+
 def test_when2comm_checkpoint_reproduces_reference_logits():
     _run_baseline_fusion_parity(
         "baseline_when2comm",
