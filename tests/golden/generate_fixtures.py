@@ -471,6 +471,76 @@ def gen_second_ssfa():
     print("second_ssfa: cls", tuple(out["cls_preds"].shape))
 
 
+def gen_second_intermediate():
+    """second_intermediate (ref second_intermediate.py:15, AttBEVBackbone):
+    Backbone3DEmu + the REAL reference AttBEVBackbone. Traced as TWO
+    single-agent frames (record_len [1, 1], identity transforms): that
+    exercises every parameter while sidestepping the reference's
+    att_bev_backbone.py:134 normalization quirk (downsample_rate is 1 with
+    discrete_ratio = voxel_size even though the height-compressed grid is
+    8x coarser, so cross-agent translations there are warped 8x too far —
+    we normalize correctly and document the divergence)."""
+    import torch
+    import torch.nn as nn
+
+    from opencood.models.sub_modules.att_bev_backbone import AttBEVBackbone
+
+    Backbone3DEmu = _backbone3d_emu_cls()
+    bb2d_args = dict(SECOND_ARGS["base_bev_backbone"],
+                     voxel_size=SECOND_ARGS["voxel_size"])
+
+    class SecondIntermediateEmu(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone_3d = Backbone3DEmu(
+                4, SECOND_ARGS["backbone_3d"]["num_features_out"])
+            self.backbone_2d = AttBEVBackbone(bb2d_args, 256)
+            out_c = sum(bb2d_args["num_upsample_filter"])
+            self.cls_head = nn.Conv2d(out_c, SECOND_ARGS["anchor_number"], 1)
+            self.reg_head = nn.Conv2d(out_c,
+                                      7 * SECOND_ARGS["anchor_number"], 1)
+
+    model = SecondIntermediateEmu()
+    _randomize(model, seed=71)
+    g = torch.Generator().manual_seed(72)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=g) * 0.05)
+                m.running_var.copy_(1.0 + 0.3 * torch.rand(
+                    m.running_var.shape, generator=g))
+    model.eval()
+
+    sd = {k: v.clone() for k, v in model.state_dict().items()}
+    for k in list(sd):
+        if k.startswith("backbone_3d.") and k.endswith(".0.weight"):
+            sd[k] = sd[k].permute(2, 3, 4, 1, 0).contiguous()
+    torch.save(sd, os.path.join(HERE, "second_intermediate.pth"))
+
+    g0, occ0, pts0 = _second_grid(SECOND_ARGS, seed=73)
+    g1, occ1, pts1 = _second_grid(SECOND_ARGS, seed=74)
+    grid = np.concatenate([g0, g1])
+    occ = torch.cat([occ0, occ1])
+    L = 1
+    pairwise = np.tile(np.eye(4, dtype=np.float32), (2, L, L, 1, 1))
+    with torch.no_grad():
+        feat3d = model.backbone_3d(torch.from_numpy(grid), occ)
+        n, c, d, h, w = feat3d.shape
+        bev = feat3d.view(n, c * d, h, w)
+        out2d = model.backbone_2d({
+            "spatial_features": bev,
+            "record_len": torch.tensor([1, 1]),
+            "pairwise_t_matrix": torch.from_numpy(pairwise.copy())})
+        feats = out2d["spatial_features_2d"]
+        cls_preds = model.cls_head(feats)
+        reg_preds = model.reg_head(feats)
+    np.savez(os.path.join(HERE, "second_intermediate_io.npz"),
+             points0=pts0, points1=pts1,
+             cls_preds=cls_preds.numpy(), reg_preds=reg_preds.numpy())
+    print("second_intermediate: cls", tuple(cls_preds.shape))
+
+
 def gen_uncertainty():
     """point_pillar_uncertainty.py:15 — the stage-1 model of the CoAlign
     pipeline (unc_head + no shrink, BaseBEVBackbone)."""
@@ -649,6 +719,7 @@ GENERATORS = {
     "when2comm": gen_when2comm,
     "second": gen_second,
     "second_ssfa": gen_second_ssfa,
+    "second_intermediate": gen_second_intermediate,
 }
 
 

@@ -214,6 +214,39 @@ def test_second_checkpoint_reproduces_reference_logits():
                                    err_msg=key)
 
 
+def test_second_intermediate_checkpoint_reproduces_reference_logits():
+    """second_intermediate import (ref second_intermediate.py:15): the
+    AttBEVBackbone key space is BaseBEVBackbone's (its per-scale AttFusion
+    is parameter-free), so the second-family map covers it; traced as two
+    single-agent frames (see gen_second_intermediate for why)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(GOLDEN))
+    from generate_fixtures import SECOND_ARGS
+    io = np.load(os.path.join(GOLDEN, "second_intermediate_io.npz"))
+    model = build_model({"core_method": "second_intermediate",
+                         "args": dict(SECOND_ARGS, fusion_method="att")})
+    n = 512
+    points = np.zeros((2, 1, n, 4), np.float32)
+    pmask = np.zeros((2, 1, n), bool)
+    for f, key in enumerate(("points0", "points1")):
+        pts = io[key]
+        points[f, 0, :len(pts)] = pts
+        pmask[f, 0, :len(pts)] = True
+    batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
+             "agent_mask": jnp.ones((2, 1), bool),
+             "pairwise_t_matrix": jnp.asarray(
+                 np.tile(np.eye(4, dtype=np.float32), (2, 1, 1, 1, 1)))}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, "second_intermediate.pth"), variables)
+    out = model.apply(variables, batch, train=False)
+    for key in ("cls_preds", "reg_preds"):
+        mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(mine, io[key], rtol=5e-3, atol=1e-3,
+                                   err_msg=key)
+
+
 def test_second_ssfa_checkpoint_reproduces_reference_logits():
     """CIA-SSD / SECOND-SSFA import (ref second_ssfa.py:16): the SSFA trunk
     map (deconv k3s2p1op1 convention, w_0/w_1 conv+BN attention weights)
