@@ -31,3 +31,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(303)  # seed matches ref inference_w_noise
+
+
+def jit_init(model, rng_key, batch, **static):
+    """model.init as ONE compiled program: eager init dispatches per-op and
+    is ~25x slower for large models on this 1-core box; jitting also lets
+    the persistent compilation cache skip the work on reruns."""
+    return jax.jit(lambda r, b: model.init(r, b, **static))(rng_key, batch)
+
+
+def jit_apply(model, variables, batch, **static):
+    return jax.jit(lambda v, b: model.apply(v, b, **static))(variables,
+                                                             batch)

@@ -4,7 +4,10 @@ inference.evaluate results)."""
 
 import numpy as np
 
+from conftest import jit_apply, jit_init
+
 from coalign_tpu.utils.bandwidth import (frame_comm_bytes,
+
                                          intermediate_feature_bytes,
                                          summarize_bandwidth)
 
@@ -117,7 +120,7 @@ def test_evaluate_reports_bandwidth_with_comm_rate():
     spec = make_anchor_spec(anchor_args, post["target_args"], "hwl")
     batch0 = {k: jnp.asarray(v)
               for k, v in batcher.assemble([ds[0]]).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch0, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch0, train=False)
     res = evaluate(model, variables, batcher, ds, spec.anchors, post,
                    batch_size=1, max_frames=2)
     assert "bandwidth_mb_per_frame" in res, res

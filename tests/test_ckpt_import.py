@@ -10,6 +10,8 @@ opencood/tools/train_utils.py:29-74 load_saved_model).
 
 import os
 
+from conftest import jit_apply, jit_init
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,7 @@ from coalign_tpu.models import build_model
 from coalign_tpu.utils.ckpt_import import (load_reference_checkpoint,
                                            opencood_to_flax)
 from coalign_tpu.utils.torch_ckpt import load_torch_state_dict
+
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -85,10 +88,10 @@ def _run_import_parity(tag: str, resnet: bool):
     pmask[0, 0, :len(pts)] = True
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 1), bool)}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, f"point_pillar_{tag}.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds", "dir_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)  # NHWC -> NCHW
         np.testing.assert_allclose(mine, io[key], atol=1e-4, err_msg=key)
@@ -125,10 +128,10 @@ def test_coalign_multiscale_checkpoint_reproduces_reference_logits():
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 2), bool),
              "pairwise_t_matrix": jnp.asarray(io["pairwise"])}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, "coalign_multiscale.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds", "dir_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(mine, io[key], atol=2e-4, err_msg=key)
@@ -154,10 +157,10 @@ def _run_baseline_fusion_parity(tag: str, fusion_args: dict, tol: dict):
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 2), bool),
              "pairwise_t_matrix": jnp.asarray(io["pairwise"])}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, f"{tag}.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds", "dir_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(mine, io[key], err_msg=key, **tol)
@@ -202,10 +205,10 @@ def test_second_checkpoint_reproduces_reference_logits():
     pmask[0, 0, :len(pts)] = True
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 1), bool)}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, "second.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         # randomized deep trunk amplifies activations to O(100); parity is
@@ -237,10 +240,10 @@ def test_second_intermediate_checkpoint_reproduces_reference_logits():
              "agent_mask": jnp.ones((2, 1), bool),
              "pairwise_t_matrix": jnp.asarray(
                  np.tile(np.eye(4, dtype=np.float32), (2, 1, 1, 1, 1)))}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, "second_intermediate.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(mine, io[key], rtol=5e-3, atol=1e-3,
@@ -266,10 +269,10 @@ def test_second_ssfa_checkpoint_reproduces_reference_logits():
     pmask[0, 0, :len(pts)] = True
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 1), bool)}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, "second_ssfa.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds", "dir_preds", "iou_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         # the deep randomized trunk amplifies activations to O(1e4) and
@@ -325,10 +328,10 @@ def test_point_pillar_uncertainty_checkpoint_reproduces_reference_logits():
     pmask[0, 0, :len(pts)] = True
     batch = {"points": jnp.asarray(points), "point_mask": jnp.asarray(pmask),
              "agent_mask": jnp.ones((1, 1), bool)}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     variables = load_reference_checkpoint(
         os.path.join(GOLDEN, "point_pillar_uncertainty.pth"), variables)
-    out = model.apply(variables, batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for key in ("cls_preds", "reg_preds", "dir_preds", "unc_preds"):
         mine = np.asarray(out[key]).transpose(0, 3, 1, 2)
         # randomized 3-scale trunk amplifies activations to O(100);

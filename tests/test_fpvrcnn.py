@@ -1,6 +1,8 @@
 """FPV-RCNN two-stage detector: RoI ops oracles, matcher, forward, loss."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +10,7 @@ from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
 from coalign_tpu.models import build_model
 from coalign_tpu.models.matcher import match_and_fuse
 from coalign_tpu.ops.roi import (farthest_point_sample,
+
                                  points_in_rotated_boxes, roi_grid_points,
                                  roi_grid_pool)
 
@@ -102,8 +105,8 @@ def test_fpvrcnn_forward_and_loss():
     }
     model = build_model({"core_method": "fpvrcnn", "args": args})
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["rois"].shape == (1, 8, 7)
     assert out["boxes_refined"].shape == (1, 8, 7)
     assert out["cls_preds_single"].shape[0] == 2
@@ -152,8 +155,8 @@ def test_fpvrcnn_vsa_keypoint_stage2():
     }
     model = build_model({"core_method": "fpvrcnn", "args": args})
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["rois"].shape == (1, 8, 7)
     assert out["boxes_refined"].shape == (1, 8, 7)
     assert np.isfinite(np.asarray(out["boxes_refined"])).all()
@@ -176,7 +179,7 @@ def test_fpvrcnn_vsa_keypoint_stage2():
             batch, train=True, mutable=["batch_stats"])
         t, _ = loss_fn(o, labels)
         return t
-    grads = jax.grad(loss_of)(variables["params"])
+    grads = jax.jit(jax.grad(loss_of))(variables["params"])
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
     gnorm = sum(float(np.abs(np.asarray(leaf)).sum()) for leaf in leaves)

@@ -1,10 +1,13 @@
 import numpy as np
+
+from conftest import jit_apply, jit_init
 import jax
 import jax.numpy as jnp
 import pytest
 
 from coalign_tpu.models.fuse.fusion import build_fusion
 from coalign_tpu.models.fuse.graph_fusion import (
+
     ConvGRUCell, _adaptive_avg_pool)
 
 
@@ -173,6 +176,6 @@ def test_deformable_fusion_and_aliases():
     for core in ("point_pillar_intermediate",
                  "point_pillar_deform_transformer"):
         model = build_model({"core_method": core, "args": dict(args)})
-        v = model.init(jax.random.PRNGKey(0), batch, train=False)
-        out = model.apply(v, batch, train=False)
+        v = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+        out = jit_apply(model, v, batch, train=False)
         assert np.isfinite(np.asarray(out["cls_preds"])).all(), core

@@ -1,6 +1,8 @@
 """Late / no-fusion inference paths: per-agent decode + joint NMS + AP."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import numpy as np
 
 from coalign_tpu.data import LateFusionBatcher, SyntheticScenes
@@ -9,6 +11,7 @@ from coalign_tpu.loss import build_loss
 from coalign_tpu.models import build_model
 from coalign_tpu.postprocess.anchors import make_anchor_spec
 from coalign_tpu.train import (build_optimizer, create_train_state,
+
                                make_train_step)
 
 LIDAR_RANGE = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
@@ -94,7 +97,7 @@ def test_evaluate_dumps_npy_and_vis(tmp_path):
                                       att={"feat_dim": [32, 64]})})
     batch = {k: jax.numpy.asarray(v)
              for k, v in batcher.assemble([ds[0]]).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     anchor_args = {"W": 64, "H": 64, "l": 3.9, "w": 1.6, "h": 1.56,
                    "r": [0, 90], "vw": 0.4, "vh": 0.4, "feature_stride": 2,
                    "cav_lidar_range": LIDAR_RANGE}

@@ -1,11 +1,14 @@
 """Lift-Splat-Shoot camera branch: geometry oracle, voxel pooling, models."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 
 from coalign_tpu.models import build_model
 from coalign_tpu.ops.lss import (LSSSpec, bin_depths, depth_discretization,
+
                                  get_geometry, voxel_pool)
 
 GRID_CONF = {"xbound": [-8, 8, 0.4], "ybound": [-8, 8, 0.4],
@@ -114,8 +117,8 @@ def test_lss_single_agent_forward():
     model = build_model({"core_method": "lift_splat_shoot",
                          "args": _args()})
     batch = _camera_batch(b=2, l=1, n=2)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     # BEV grid 40x40: /2 stem, /4 blocks, decoded back up to full res
     assert out["cls_preds"].shape == (2, 40, 40, 2)
     assert out["reg_preds"].shape == (2, 40, 40, 14)
@@ -152,8 +155,8 @@ def test_camera_batcher_from_disk(tmp_path):
     jb = {k: (jnp.asarray(v) if not isinstance(v, dict) else
               {kk: jnp.asarray(vv) for kk, vv in v.items()})
           for k, v in batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), jb, train=False)
-    out = model.apply(variables, jb, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jb, train=False)
+    out = jit_apply(model, variables, jb, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
 
 
@@ -181,8 +184,8 @@ def test_depth_supervision_and_gt_depth():
                          "args": _args({"use_gt_depth": True})})
     batch = _camera_batch(b=1, l=1, n=2)
     batch["image_inputs"]["depth_map"] = jnp.full((1, 1, 2, 64, 96), 5.0)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
 
 
@@ -194,8 +197,8 @@ def test_lss_intermediate_forward_ms_and_ss():
                            "fusion_args": {"core_method": method,
                                            "att": {"feat_dim": 64}}})})
         batch = _camera_batch(b=1, l=2, n=2)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        out = model.apply(variables, batch, train=False)
+        variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+        out = jit_apply(model, variables, batch, train=False)
         assert out["cls_preds"].shape == (1, 40, 40, 2)
         assert out["cls_preds_single"].shape == (2, 40, 40, 2)
         assert np.isfinite(np.asarray(out["cls_preds"])).all()
@@ -229,8 +232,8 @@ def test_lss_fusion_zoo_v2vnet_v2xvit_max():
             "core_method": "lift_splat_shoot_intermediate",
             "args": _args({"fusion_args": fargs})})
         batch = _camera_batch(b=1, l=2, n=2)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        out = model.apply(variables, batch, train=False)
+        variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+        out = jit_apply(model, variables, batch, train=False)
         assert out["cls_preds"].shape == (1, 40, 40, 2), name
         assert np.isfinite(np.asarray(out["cls_preds"])).all(), name
 
@@ -244,7 +247,7 @@ def test_camera_encoder_variant_knob():
         model = build_model({"core_method": "lift_splat_shoot",
                              "args": _args({"camera_encoder": variant})})
         batch = _camera_batch(b=1, l=1, n=1)
-        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        v = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
         return sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
 
     light = nparams("EfficientNet")

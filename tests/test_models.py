@@ -1,10 +1,13 @@
 import numpy as np
+
+from conftest import jit_apply, jit_init
 import jax
 import jax.numpy as jnp
 import pytest
 
 from coalign_tpu.models import build_model
 from coalign_tpu.utils.transforms import get_pairwise_transformation
+
 
 
 def _model_args(fusion="att"):
@@ -59,8 +62,8 @@ def _make_batch(rng, b=2, l=3, n=256):
 def test_collaborative_forward_shapes(rng, core, fusion):
     model = build_model({"core_method": core, "args": _model_args(fusion)})
     batch = _make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     # grid 32x32, backbone stride 2 -> 16x16 head maps
     assert out["cls_preds"].shape == (2, 16, 16, 2)
     assert out["reg_preds"].shape == (2, 16, 16, 14)
@@ -73,8 +76,8 @@ def test_single_agent_forward(rng):
     del args["fusion_method"], args["att"]
     model = build_model({"core_method": "point_pillar", "args": args})
     batch = _make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["cls_preds"].shape == (6, 16, 16, 2)  # B*L agents
 
 
@@ -82,9 +85,9 @@ def test_train_mode_updates_batch_stats(rng):
     model = build_model({"core_method": "point_pillar_baseline_multiscale",
                          "args": _model_args()})
     batch = _make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
-    out, mutated = model.apply(variables, batch, train=True,
-                               mutable=["batch_stats"])
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=True)
+    out, mutated = jax.jit(lambda v, b: model.apply(
+        v, b, train=True, mutable=["batch_stats"]))(variables, batch)
     assert "batch_stats" in mutated
     stats_before = jax.tree_util.tree_leaves(variables["batch_stats"])
     stats_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
@@ -108,9 +111,9 @@ def test_fusion_invariance_duplicate_agent(rng):
                      agent_mask=jnp.asarray([[True, True, False]]))
     batch_solo = dict(batch_dup,
                       agent_mask=jnp.asarray([[True, False, False]]))
-    variables = model.init(jax.random.PRNGKey(0), batch_dup, train=False)
-    out_dup = model.apply(variables, batch_dup, train=False)
-    out_solo = model.apply(variables, batch_solo, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch_dup, train=False)
+    out_dup = jit_apply(model, variables, batch_dup, train=False)
+    out_solo = jit_apply(model, variables, batch_solo, train=False)
     np.testing.assert_allclose(np.asarray(out_dup["cls_preds"]),
                                np.asarray(out_solo["cls_preds"]), atol=1e-4)
 
@@ -122,8 +125,8 @@ def test_where2comm_forward(rng):
     model = build_model({"core_method": "point_pillar_where2comm",
                          "args": args})
     batch = _make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["cls_preds"].shape == (2, 16, 16, 2)
     assert out["cls_preds_single"].shape == (6, 16, 16, 2)
     assert np.isfinite(float(out["comm_rate"]))

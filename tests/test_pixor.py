@@ -1,6 +1,8 @@
 """PIXOR dense-BEV family: raster oracle, label maps, forward, loss, decode."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +10,7 @@ from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
 from coalign_tpu.models import build_model
 from coalign_tpu.ops.bev_raster import BevSpec, rasterize_bev
 from coalign_tpu.postprocess.dense_bev import (DenseBevSpec,
+
                                                assign_dense_targets,
                                                decode_dense_map)
 
@@ -78,8 +81,8 @@ def test_pixor_forward_and_loss():
     model = build_model({"core_method": "pixor",
                          "args": {"geometry_param": GEOM, "use_bn": True}})
     batch = _batch(num_agents=1)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["cls_map"].shape == (1, 16, 16, 1)
     assert out["reg_map"].shape == (1, 16, 16, 6)
 
@@ -99,7 +102,7 @@ def test_pixor_intermediate_forward():
                                   "fusion_method": "att",
                                   "att": {"feat_dim": [128]}}})
     batch = _batch(num_agents=2)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["cls_map"].shape == (1, 16, 16, 1)
     assert np.isfinite(np.asarray(out["cls_map"])).all()

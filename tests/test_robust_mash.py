@@ -1,6 +1,8 @@
 """Robust V2VNet + MASH fusion: forward, pose-correction math, losses."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 
@@ -8,6 +10,7 @@ from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
 from coalign_tpu.loss import build_loss
 from coalign_tpu.models import build_model
 from coalign_tpu.models.fuse.robust import (global_consistency,
+
                                             pose3_to_tfm, tfm_to_pose3)
 
 LIDAR_RANGE = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
@@ -80,8 +83,8 @@ def test_robust_model_forward_and_loss():
     model = build_model({"core_method": "point_pillar_v2vnet_robust",
                          "args": args})
     batch = _batch(pos_std=0.2)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["pose_corr"].shape == (1, 3, 3, 3)
     assert out["agent_scores"].shape == (1, 3, 3)
     assert "pose_corr_target" in out
@@ -114,7 +117,7 @@ def test_robust_stage_masks():
     model = build_model({"core_method": "point_pillar_v2vnet_robust",
                          "args": args})
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     import jax.tree_util as jtu
     for stage, want_robust in [(0, "freeze"), (1, "train"), (2, "train")]:
         labels = stage_param_labels(variables["params"], stage)
@@ -134,8 +137,8 @@ def test_mash_model_forward_and_loss():
     args["mash"] = {"coarse_downsample": 2, "query_dim": 16}
     model = build_model({"core_method": "point_pillar_mash", "args": args})
     batch = _batch(pos_std=0.4)  # MASH is pose-free: noise must not crash
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
     assert out["corr_vol"].shape[1] == 3  # L agents
 

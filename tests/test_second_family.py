@@ -6,6 +6,8 @@ smoke-trained on the synthetic oracle scenes.
 """
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -13,6 +15,7 @@ import pytest
 from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
 from coalign_tpu.models import build_model
 from coalign_tpu.ops.voxels import (VoxelSpec, mean_voxelize, voxel_ids,
+
                                     voxel_max_broadcast_batched)
 
 LIDAR_RANGE = [-16.0, -16.0, -3.0, 16.0, 16.0, 1.0]
@@ -99,8 +102,8 @@ def _args(extra=None):
 def test_second_family_forward(core, extra, outputs):
     model = build_model({"core_method": core, "args": _args(extra)})
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     for k in outputs:
         assert k in out, (core, k, list(out))
         assert np.isfinite(np.asarray(out[k])).all(), (core, k)
@@ -115,8 +118,8 @@ def test_voxelnet_forward(core):
              if "intermediate" in core else None)
     model = build_model({"core_method": core, "args": _args(extra)})
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
     assert out["reg_preds"].shape[-1] == 14
 

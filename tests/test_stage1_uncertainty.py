@@ -1,4 +1,6 @@
 import numpy as np
+
+from conftest import jit_apply, jit_init
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +11,7 @@ from coalign_tpu.posegraph import BoxAlignConfig
 from coalign_tpu.postprocess.anchors import make_anchor_spec
 from coalign_tpu.tools.stage1 import correct_batch_poses, make_stage1_fn
 from coalign_tpu.utils.transforms import (get_pairwise_transformation,
+
                                           inverse_tfm, pose_to_tfm)
 
 LIDAR_RANGE = [-16.0, -16.0, -3.0, 16.0, 16.0, 1.0]
@@ -51,8 +54,8 @@ def test_uncertainty_model_and_loss(rng):
                                         lidar_range=LIDAR_RANGE)
     batch = batcher.assemble([dataset[0], dataset[1]])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    out = model.apply(variables, batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    out = jit_apply(model, variables, batch, train=False)
     assert out["unc_preds"].shape == (4, 32, 32, 6)  # B*L, H/2, W/2, 3*A
 
     loss_fn = build_loss({
@@ -91,7 +94,7 @@ def test_stage1_fn_shapes(rng):
                                         lidar_range=LIDAR_RANGE)
     batch = batcher.assemble([dataset[0], dataset[1]])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
     stage1 = make_stage1_fn(model, spec.anchors, POSTPROCESS, max_boxes=8)
     dets = stage1(variables, batch)
     assert dets["box_poses"].shape == (2, 2, 8, 3)
