@@ -1,6 +1,8 @@
 """bfloat16 compute policy: conv stack in bf16 stays close to f32."""
 
 import jax
+
+from conftest import jit_apply, jit_init
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -41,13 +43,13 @@ def test_bf16_policy_close_to_f32():
     assert compute_dtype() is None
     model32 = build_model({"core_method": "point_pillar_baseline_multiscale",
                            "args": ARGS})
-    v = model32.init(jax.random.PRNGKey(0), batch, train=False)
-    out32 = model32.apply(v, batch, train=False)
+    v = jit_init(model32, jax.random.PRNGKey(0), batch, train=False)
+    out32 = jit_apply(model32, v, batch, train=False)
 
     set_compute_dtype(jnp.bfloat16)
     model16 = build_model({"core_method": "point_pillar_baseline_multiscale",
                            "args": ARGS})
-    out16 = model16.apply(v, batch, train=False)
+    out16 = jit_apply(model16, v, batch, train=False)
 
     a, bb = np.asarray(out32["cls_preds"]), np.asarray(out16["cls_preds"])
     assert bb.dtype == np.float32  # heads promote back to f32
