@@ -141,6 +141,7 @@ class CameraBatcher:
             for ai, ag in enumerate(frame["agents"][:l]):
                 cams = ag.get("cameras", {})
                 files = ag.get("camera_files", [])
+                arrays = ag.get("camera_arrays", [])  # in-memory (synthetic)
                 for ci in range(min(n, len(cams))):
                     cam = cams.get(f"camera{ci}")
                     if cam is None:
@@ -149,6 +150,24 @@ class CameraBatcher:
                     rots[bi, ai, ci] = ext[:3, :3]
                     trans[bi, ai, ci] = ext[:3, 3]
                     intrins[bi, ai, ci] = cam["intrinsic"]
+                    if ci < len(arrays):
+                        arr = np.asarray(arrays[ci], dtype=np.float32)
+                        h0, w0 = arr.shape[:2]
+                        if (h0, w0) != tuple(self.final_dim):
+                            from PIL import Image
+
+                            h_, w_ = self.final_dim
+                            arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                            arr = np.asarray(
+                                Image.fromarray(arr8).resize(
+                                    (w_, h_), Image.BILINEAR),
+                                dtype=np.float32) / 255.0
+                            pr = np.eye(3, dtype=np.float32)
+                            pr[0, 0] = w_ / w0
+                            pr[1, 1] = h_ / h0
+                            post_rots[bi, ai, ci] = pr
+                        imgs[bi, ai, ci] = arr
+                        continue
                     if ci < len(files):
                         from PIL import Image
 

@@ -100,3 +100,89 @@ class SyntheticScenes:
 
         return {"agents": agents,
                 "objects": {"boxes": boxes, "ids": ids}}
+
+
+def render_agent_cameras(pose, boxes_world, cam_hw=(128, 176), num_cams=4,
+                         focal=96.0, seed=0):
+    """Render pinhole views of the scene's boxes from an agent's rig.
+
+    The camera branch needs an ORACLE with a learnable image->BEV mapping
+    (the reference trains LSS on real OPV2V camera data, which is not
+    mountable here): each gt box is splatted into each view as a bright
+    rectangle whose position follows the exact OpenCV projection and whose
+    size scales with 1/depth — so a LiftSplatShoot model must recover both
+    bearing AND depth from appearance to place detections.
+
+    Returns (cams, imgs): ``cams`` is the OPV2V yaml-style camera block
+    consumed by camera_to_lidar_ext (``camera{i}`` -> cords/intrinsic/
+    extrinsic), ``imgs`` a list of (H, W, 3) float images in [0, 1].
+    """
+    from coalign_tpu.data.camera_batch import camera_to_lidar_ext
+
+    h, w = cam_hw
+    rng = np.random.default_rng(seed)
+    intrinsic = np.array([[focal, 0.0, (w - 1) / 2],
+                          [0.0, focal, (h - 1) / 2],
+                          [0.0, 0.0, 1.0]], dtype=np.float32)
+    t_aw = np.asarray(inverse_tfm(pose_to_tfm(np.asarray(pose,
+                                                         np.float64))))
+    centers_agent = np.asarray(project_points(
+        boxes_world[:, :3].astype(np.float64), t_aw))
+
+    cams, imgs = {}, []
+    for ci in range(num_cams):
+        cords = [float(v) for v in pose]
+        cords[4] = float(cords[4] + 90.0 * ci)
+        cams[f"camera{ci}"] = {"cords": cords,
+                               "intrinsic": intrinsic.tolist(),
+                               "extrinsic": np.eye(4).tolist()}
+        # T_camera<-agent: invert the batcher's T_lidar<-camera
+        ext = camera_to_lidar_ext(cords, pose).astype(np.float64)
+        t_ca = np.linalg.inv(ext)
+        p_cam = centers_agent @ t_ca[:3, :3].T + t_ca[:3, 3]
+
+        img = rng.uniform(0.0, 0.08, (h, w, 3)).astype(np.float32)
+        order = np.argsort(-p_cam[:, 2])  # far first; near overwrites
+        for oi in order:
+            x, y, z = p_cam[oi]
+            if z < 1.0:
+                continue
+            u = focal * x / z + (w - 1) / 2
+            v = focal * y / z + (h - 1) / 2
+            half_u = focal * (0.5 * float(boxes_world[oi, 5])) / z
+            half_v = focal * (0.5 * float(boxes_world[oi, 3])) / z
+            u0, u1 = int(np.floor(u - half_u)), int(np.ceil(u + half_u))
+            v0, v1 = int(np.floor(v - half_v)), int(np.ceil(v + half_v))
+            if u1 < 0 or v1 < 0 or u0 >= w or v0 >= h:
+                continue
+            u0, u1 = max(u0, 0), min(u1, w - 1)
+            v0, v1 = max(v0, 0), min(v1, h - 1)
+            # distance-coded brightness gives a redundant depth cue
+            shade = float(np.clip(1.0 - z / 80.0, 0.25, 1.0))
+            img[v0:v1 + 1, u0:u1 + 1, :] = shade
+        imgs.append(img)
+    return cams, imgs
+
+
+class SyntheticCameraScenes(SyntheticScenes):
+    """SyntheticScenes + rendered camera rigs (see render_agent_cameras):
+    the camera-branch oracle for LSS training/eval tests."""
+
+    def __init__(self, *args, cam_hw=(128, 176), num_cams=4, focal=96.0,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.cam_hw = cam_hw
+        self.num_cams = num_cams
+        self.focal = focal
+
+    def __getitem__(self, idx):
+        frame = super().__getitem__(idx)
+        boxes = frame["objects"]["boxes"]
+        for ai, agent in enumerate(frame["agents"]):
+            cams, imgs = render_agent_cameras(
+                agent["pose"], boxes, cam_hw=self.cam_hw,
+                num_cams=self.num_cams, focal=self.focal,
+                seed=self.seed * 7919 + idx * 31 + ai)
+            agent["cameras"] = cams
+            agent["camera_arrays"] = imgs
+        return frame
