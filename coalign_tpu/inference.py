@@ -172,7 +172,9 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
     for bidx, batch in enumerate(prefetch(
             batcher.batches(dataset, batch_size, shuffle=False,
                             drop_last=False), size=2, to_device=False)):
-        dets = infer(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+        # tree_map, not a flat dict comprehension: camera batches nest
+        # image_inputs
+        dets = infer(variables, jax.tree.map(jnp.asarray, batch))
         dets = jax.tree_util.tree_map(np.asarray, dets)
         comm_bytes += frame_comm_bytes(
             fusion_method, batch, model=model,
