@@ -80,7 +80,10 @@ class _VoxelBase(nn.Module):
         """Voxelize -> 3D backbone -> height compression -> (F, H/8, W/8, C)."""
         grid = self._voxelize(batch)
         feats = VoxelBackbone8x(
-            out_features=self.args.get("backbone_3d", {}).get(
+            # "spconv" is the reference second_ssfa.py arg name for the
+            # same block — accept both so a reference config.yaml works
+            out_features=self.args.get(
+                "backbone_3d", self.args.get("spconv", {})).get(
                 "num_features_out", 128))(grid, train=train)
         return height_compression(feats["out"])
 
