@@ -421,3 +421,67 @@ def test_cli_inference_with_reference_model_dir(tmp_path):
     opt.model_dir = model_dir
     res = cmd_inference(opt)
     assert np.isfinite(res["ap30"])
+
+
+def test_cli_inference_second_with_reference_arg_names(tmp_path):
+    """Same workflow for a SECOND checkpoint whose config.yaml uses the
+    REFERENCE arg names (spconv / map2bev, ref second_ssfa.py:22-28 +
+    SECOND.yaml:80-86) — the model accepts them unchanged."""
+    import shutil
+    import sys
+
+    import yaml
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.run import cmd_inference
+
+    sys.path.insert(0, os.path.join(GOLDEN))
+    from generate_fixtures import SECOND_ARGS
+
+    lr = SECOND_ARGS["lidar_range"]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=32,
+                             ground_points=64, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+
+    hypes = os.path.join(os.path.dirname(__file__), "..", "coalign_tpu",
+                         "hypes_yaml", "opv2v", "SECOND.yaml")
+    base = load_yaml(hypes)
+    base["root_dir"] = root
+    base["validate_dir"] = root
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    base["preprocess"]["cav_lidar_range"] = lr
+    base["preprocess"]["args"]["voxel_size"] = SECOND_ARGS["voxel_size"]
+    base["postprocess"]["gt_range"] = lr
+    base["postprocess"]["anchor_args"].update(
+        cav_lidar_range=lr, W=64, H=64, vw=0.4, vh=0.4, feature_stride=8)
+    margs = {k: v for k, v in SECOND_ARGS.items()
+             if k not in ("backbone_3d", "height_compression")}
+    # reference naming: spconv + map2bev instead of backbone_3d
+    margs["spconv"] = {"num_features_in": 4, "num_features_out":
+                       SECOND_ARGS["backbone_3d"]["num_features_out"]}
+    margs["map2bev"] = {"feature_num": 256}
+    base["model"] = {"core_method": "second", "args": margs}
+    base["noise_setting"] = {"add_noise": False}
+
+    model_dir = str(tmp_path / "ref_run")
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(base, f)
+    shutil.copy(os.path.join(GOLDEN, "second.pth"),
+                os.path.join(model_dir, "net_epoch_bestval_at5.pth"))
+
+    class Opt:
+        hypes_yaml = None
+        root_dir = None
+        fusion_method = "no"
+        eval_frames = 2
+        output = None
+
+    opt = Opt()
+    opt.model_dir = model_dir
+    res = cmd_inference(opt)
+    assert np.isfinite(res["ap30"])
