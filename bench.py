@@ -216,10 +216,29 @@ def main():
     if "--stage" in sys.argv:
         i = sys.argv.index("--stage")
         which = sys.argv[i + 1]
-        if which == "train":
+        if which == "probe":
+            import jax
+            import jax.numpy as jnp
+            x = jnp.ones((256, 256))
+            print(json.dumps({"ok": float((x @ x).sum()),
+                              "device": str(jax.devices()[0])}))
+        elif which == "train":
             print(json.dumps(stage_train()))
         else:
             print(json.dumps(stage_infer(int(which.lstrip("b")))))
+        return 0
+
+    # preflight: a wedged TPU worker hangs even trivial ops — fail fast
+    # with a diagnosable artifact instead of 4 x 25min stage timeouts
+    probe = _run_stage_subprocess(["probe"], timeout=240)
+    if "ok" not in probe:
+        print(json.dumps({
+            "metric": "opv2v_coalign_e2e_frames_per_sec_per_chip",
+            "value": None, "unit": "frames/s", "vs_baseline": None,
+            "stage_errors": {"probe": probe.get("error", "device probe "
+                                                "timed out — TPU worker "
+                                                "unreachable")},
+        }))
         return 0
 
     sweep, errors = {}, {}
