@@ -135,9 +135,11 @@ def cmd_train(opt):
     return state, res
 
 
-def cmd_inference(opt):
+def _load_model_dir(opt):
+    """model_dir (flax orbax run OR a reference torch run) ->
+    (params, base, batcher, model, spec, state). Shared by inference and
+    export."""
     from coalign_tpu.config.yaml_utils import load_yaml
-    from coalign_tpu.inference import evaluate
     from coalign_tpu.train import (build_optimizer, create_train_state,
                                    load_checkpoint)
 
@@ -174,6 +176,13 @@ def cmd_inference(opt):
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"])
         print(json.dumps({"imported_reference_checkpoint": path}))
+    return params, base, batcher, model, spec, state
+
+
+def cmd_inference(opt):
+    from coalign_tpu.inference import evaluate
+
+    params, base, batcher, model, spec, state = _load_model_dir(opt)
     res = evaluate(model,
                    {"params": state.params,
                     "batch_stats": state.batch_stats},
@@ -185,6 +194,27 @@ def cmd_inference(opt):
     save_yaml(res, os.path.join(
         opt.model_dir, f"eval_{opt.fusion_method}.yaml"))
     return res
+
+
+def cmd_export(opt):
+    """Write a self-contained serving artifact (StableHLO program +
+    params + batch contract) for the model_dir's checkpoint — see
+    coalign_tpu/serving.py. The batch shapes are taken from one assembled
+    dataset batch (exported programs are fixed-shape by design)."""
+    from coalign_tpu.serving import export_inference
+
+    params, base, batcher, model, spec, state = _load_model_dir(opt)
+    batch0 = {k: np.asarray(v)
+              for k, v in batcher.assemble([base[0]]).items()}
+    out = opt.output or os.path.join(opt.model_dir, "serving_artifact")
+    platforms = tuple((opt.platforms or "cpu,tpu").split(","))
+    export_inference(model,
+                     {"params": state.params,
+                      "batch_stats": state.batch_stats},
+                     batch0, spec.anchors, postprocess_cfg(params), out,
+                     platforms=platforms)
+    print(json.dumps({"artifact": out, "platforms": list(platforms)}))
+    return out
 
 
 def cmd_precalc(opt):
@@ -277,7 +307,8 @@ def cmd_config_generate(opt):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "inference", "config_generate", "precalc"):
+    for name in ("train", "inference", "config_generate", "precalc",
+                 "export"):
         s = sub.add_parser(name)
         s.add_argument("-y", "--hypes_yaml", default=None)
         s.add_argument("--model_dir", default=None)
@@ -287,6 +318,8 @@ def main(argv=None):
         s.add_argument("--epochs", type=int, default=None)
         s.add_argument("--eval_frames", type=int, default=None)
         s.add_argument("--output", default=None)
+        s.add_argument("--platforms", default=None,
+                       help="export lowering targets, e.g. 'cpu,tpu'")
     opt = p.parse_args(argv)
     if opt.cmd == "train":
         return cmd_train(opt)
@@ -294,6 +327,8 @@ def main(argv=None):
         return cmd_inference(opt)
     if opt.cmd == "precalc":
         return cmd_precalc(opt)
+    if opt.cmd == "export":
+        return cmd_export(opt)
     return cmd_config_generate(opt)
 
 

@@ -82,6 +82,7 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
         epochs = 1
         eval_frames = 2
         output = None
+        platforms = "cpu"
 
     opt = Opt()
     opt.model_dir = model_dir
@@ -94,3 +95,11 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
     assert np.isfinite(res2["ap30"])
     assert os.path.exists(os.path.join(model_dir,
                                        "eval_intermediate.yaml"))
+
+    # deployment: export a serving artifact from the same run dir and
+    # reload it (coalign_tpu/serving.py)
+    from coalign_tpu.serving import load_artifact
+    from coalign_tpu.tools.run import cmd_export
+    artifact = cmd_export(opt)
+    serving = load_artifact(artifact)
+    assert serving.meta["platforms"] == ["cpu"]
