@@ -83,26 +83,14 @@ def main(argv=None):
     p.add_argument("--root_dir", default=None)
     opt = p.parse_args(argv)
 
-    from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
+    from coalign_tpu.config.yaml_utils import save_yaml
     from coalign_tpu.data import build_dataset
-    from coalign_tpu.tools.run import build_all, postprocess_cfg
-    from coalign_tpu.train import (build_optimizer, create_train_state,
-                                   load_checkpoint)
+    from coalign_tpu.tools.run import _load_model_dir, postprocess_cfg
 
-    params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
-    if opt.root_dir:
-        params["root_dir"] = opt.root_dir
-        params["validate_dir"] = opt.root_dir
-    base, batcher0, model, _, spec = build_all(params, train=False)
-    batch0 = batcher0.assemble([base[0]])
-    tx = build_optimizer(params["optimizer"], None)
-    state = create_train_state(model, {k: np.asarray(v)
-                                       for k, v in batch0.items()}, tx)
-    ckpts = sorted(d for d in os.listdir(opt.model_dir)
-                   if d.startswith("step_"))
-    if ckpts:
-        state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
-                                state)
+    # shared model_dir loader: flax orbax runs AND reference torch runs
+    # (net_epoch*.pth import) — the sweep previously ignored .pth dirs and
+    # would have swept a randomly-initialized model
+    params, base, _, model, spec, state = _load_model_dir(opt)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     def batcher_factory(pos_std, rot_std):

@@ -98,36 +98,26 @@ def main(argv=None):
     p.add_argument("--root_dir", default=None)
     opt = p.parse_args(argv)
 
-    from coalign_tpu.config.yaml_utils import load_yaml, save_yaml
-    from coalign_tpu.data import build_dataset
-    from coalign_tpu.tools.run import build_all, postprocess_cfg
-    from coalign_tpu.train import (build_optimizer, create_train_state,
-                                   load_checkpoint)
+    from coalign_tpu.config.yaml_utils import save_yaml
+    from coalign_tpu.tools.run import _load_model_dir, postprocess_cfg
 
-    params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
-    if opt.root_dir:
-        params["root_dir"] = opt.root_dir
-        params["validate_dir"] = opt.root_dir
-    params = copy.deepcopy(params)
-    params["noise_setting"] = {"add_noise": True,
-                               "args": {"pos_std": opt.pos_std,
-                                        "rot_std": opt.rot_std,
-                                        "pos_mean": 0, "rot_mean": 0}}
-    # the stage-1 detector is trained per-agent (late fusion), but the
-    # pose graph needs all agents of a frame together with their noisy
-    # poses + pairwise transforms: evaluate on the intermediate batcher
-    # (ref pose_graph_evaluate.py builds the intermediate dataset)
-    params["fusion"] = dict(params["fusion"], core_method="intermediate")
-    base, batcher, model, _, spec = build_all(params, train=False)
-    batch0 = batcher.assemble([base[0]])
-    tx = build_optimizer(params["optimizer"], None)
-    state = create_train_state(model, {k: np.asarray(v)
-                                       for k, v in batch0.items()}, tx)
-    ckpts = sorted(d for d in os.listdir(opt.model_dir)
-                   if d.startswith("step_"))
-    if ckpts:
-        state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
-                                state)
+    def hook(params):
+        params = copy.deepcopy(params)
+        params["noise_setting"] = {"add_noise": True,
+                                   "args": {"pos_std": opt.pos_std,
+                                            "rot_std": opt.rot_std,
+                                            "pos_mean": 0, "rot_mean": 0}}
+        # the stage-1 detector is trained per-agent (late fusion), but the
+        # pose graph needs all agents of a frame together with their noisy
+        # poses + pairwise transforms: evaluate on the intermediate batcher
+        # (ref pose_graph_evaluate.py builds the intermediate dataset)
+        params["fusion"] = dict(params["fusion"],
+                                core_method="intermediate")
+        return params
+
+    # shared loader: flax orbax runs AND reference torch runs (the
+    # uncertainty stage-1 family is checkpoint-importable)
+    params, base, batcher, model, spec, state = _load_model_dir(opt, hook)
     res = evaluate_pose_graph(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         batcher, base, spec.anchors, postprocess_cfg(params),

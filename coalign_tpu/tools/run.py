@@ -135,17 +135,25 @@ def cmd_train(opt):
     return state, res
 
 
-def _load_model_dir(opt):
+def _load_model_dir(opt, params_hook=None):
     """model_dir (flax orbax run OR a reference torch run) ->
-    (params, base, batcher, model, spec, state). Shared by inference and
-    export."""
+    (params, base, batcher, model, spec, state). Shared by inference,
+    export, noise_sweep and pose_graph_eval.
+
+    params_hook(params) -> params lets a caller rewrite the config (e.g.
+    force a noise_setting) before the dataset/model are built."""
     from coalign_tpu.config.yaml_utils import load_yaml
     from coalign_tpu.train import (build_optimizer, create_train_state,
                                    load_checkpoint)
 
     params = load_yaml(os.path.join(opt.model_dir, "config.yaml"))
     if opt.root_dir:
+        # eval-time dataset override: build_dataset(train=False) reads
+        # validate_dir first, so point both at the requested root
         params["root_dir"] = opt.root_dir
+        params["validate_dir"] = opt.root_dir
+    if params_hook is not None:
+        params = params_hook(params)
     ckpts = sorted(d for d in os.listdir(opt.model_dir)
                    if d.startswith("step_"))
     pths = sorted(f for f in os.listdir(opt.model_dir)
