@@ -97,8 +97,17 @@ def main(argv=None):
     margs = params["model"]["args"]
     student = build_model({"core_method": "point_pillar_disconet",
                            "args": margs})
+    # a reference torch teacher checkpoint trains with torch PFN
+    # semantics (pad slots in the pillar max) — mirror cmd_inference
+    teacher_pths = sorted(
+        f for f in (os.listdir(opt.teacher_dir) if opt.teacher_dir else [])
+        if f.endswith(".pth"))
+    t_margs = margs
+    if teacher_pths:
+        t_margs = dict(margs, pillar_vfe=dict(
+            margs.get("pillar_vfe", {}), pad_parity=True))
     teacher = build_model({"core_method": "point_pillar_disconet_teacher",
-                           "args": margs})
+                           "args": t_margs})
     loss_fn = build_loss(params["loss"])
     post = params["postprocess"]
     spec = make_anchor_spec(post["anchor_args"], post["target_args"],
@@ -112,15 +121,28 @@ def main(argv=None):
     t_vars = jax.jit(lambda k, b: teacher.init(k, b, train=False))(
         jax.random.PRNGKey(1), batch0)
     if opt.teacher_dir:
-        tx_t = build_optimizer({"core_method": "Adam", "lr": 1e-3}, None)
-        t_state = create_train_state(teacher, batch0, tx_t)
         ckpts = sorted(d for d in os.listdir(opt.teacher_dir)
                        if d.startswith("step_"))
         if ckpts:
+            tx_t = build_optimizer({"core_method": "Adam", "lr": 1e-3},
+                                   None)
+            t_state = create_train_state(teacher, batch0, tx_t)
             t_state = load_checkpoint(
                 os.path.join(opt.teacher_dir, ckpts[-1]), t_state)
-        t_vars = {"params": t_state.params,
-                  "batch_stats": t_state.batch_stats}
+            t_vars = {"params": t_state.params,
+                      "batch_stats": t_state.batch_stats}
+        elif teacher_pths:
+            # reference torch teacher (ref tools/train_w_kd.py loads a
+            # frozen early-fusion teacher net_epoch*.pth)
+            import json
+
+            from coalign_tpu.utils.ckpt_import import (
+                load_reference_checkpoint)
+            best = [f for f in teacher_pths if "bestval" in f]
+            t_path = os.path.join(opt.teacher_dir,
+                                  (best or teacher_pths)[-1])
+            t_vars = load_reference_checkpoint(t_path, t_vars)
+            print(json.dumps({"imported_reference_teacher": t_path}))
 
     tx = build_optimizer(params["optimizer"], params.get("lr_scheduler"),
                          max(1, len(base) // tp["batch_size"]))
