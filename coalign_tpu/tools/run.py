@@ -188,15 +188,25 @@ def _load_model_dir(opt, params_hook=None):
 
 
 def cmd_inference(opt):
+    import contextlib
+
     from coalign_tpu.inference import evaluate
 
     params, base, batcher, model, spec, state = _load_model_dir(opt)
-    res = evaluate(model,
-                   {"params": state.params,
-                    "batch_stats": state.batch_stats},
-                   batcher, base, spec.anchors, postprocess_cfg(params),
-                   fusion_method=opt.fusion_method,
-                   max_frames=opt.eval_frames)
+    trace = contextlib.nullcontext()
+    if getattr(opt, "profile", None):
+        # device trace (XProf/TensorBoard) around the whole eval loop —
+        # SURVEY §5: profiling is a green field vs the reference
+        from coalign_tpu.utils.profiling import device_trace
+        trace = device_trace(opt.profile)
+    with trace:
+        res = evaluate(model,
+                       {"params": state.params,
+                        "batch_stats": state.batch_stats},
+                       batcher, base, spec.anchors,
+                       postprocess_cfg(params),
+                       fusion_method=opt.fusion_method,
+                       max_frames=opt.eval_frames)
     print(json.dumps({"eval": res}))
     from coalign_tpu.config.yaml_utils import save_yaml
     save_yaml(res, os.path.join(
@@ -328,6 +338,9 @@ def main(argv=None):
         s.add_argument("--output", default=None)
         s.add_argument("--platforms", default=None,
                        help="export lowering targets, e.g. 'cpu,tpu'")
+        s.add_argument("--profile", default=None,
+                       help="write a jax.profiler device trace (XProf/"
+                            "TensorBoard logdir) around inference")
     opt = p.parse_args(argv)
     if opt.cmd == "train":
         return cmd_train(opt)

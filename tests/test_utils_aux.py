@@ -81,6 +81,22 @@ def test_stage_timer():
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
 
 
+def test_device_trace_writes_xplane(tmp_path):
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from coalign_tpu.utils.profiling import device_trace
+
+    logdir = str(tmp_path / "trace")
+    with device_trace(logdir):
+        jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    assert glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                     recursive=True)
+
+
 def test_comm_volume_accounting():
     from coalign_tpu.utils.compression import (comm_volume_mbits,
                                                masked_comm_volume_mbits)
