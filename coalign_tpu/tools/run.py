@@ -199,6 +199,11 @@ def cmd_inference(opt):
         # SURVEY §5: profiling is a green field vs the reference
         from coalign_tpu.utils.profiling import device_trace
         trace = device_trace(opt.profile)
+    # ref tools/inference.py --save_npy / save_vis_interval workflow
+    npy_dir = (os.path.join(opt.model_dir, "npy")
+               if getattr(opt, "save_npy", False) else None)
+    vis_dir = (os.path.join(opt.model_dir, "vis")
+               if getattr(opt, "save_vis", False) else None)
     with trace:
         res = evaluate(model,
                        {"params": state.params,
@@ -206,7 +211,9 @@ def cmd_inference(opt):
                        batcher, base, spec.anchors,
                        postprocess_cfg(params),
                        fusion_method=opt.fusion_method,
-                       max_frames=opt.eval_frames)
+                       max_frames=opt.eval_frames,
+                       npy_dir=npy_dir, vis_dir=vis_dir,
+                       vis_interval=getattr(opt, "save_vis_interval", 40))
     print(json.dumps({"eval": res}))
     from coalign_tpu.config.yaml_utils import save_yaml
     save_yaml(res, os.path.join(
@@ -341,6 +348,14 @@ def main(argv=None):
         s.add_argument("--profile", default=None,
                        help="write a jax.profiler device trace (XProf/"
                             "TensorBoard logdir) around inference")
+        s.add_argument("--save_npy", action="store_true",
+                       help="dump per-frame pred/gt arrays to "
+                            "<model_dir>/npy (ref inference_utils.py:176)")
+        s.add_argument("--save_vis", action="store_true",
+                       help="save BEV detection renderings to "
+                            "<model_dir>/vis every save_vis_interval "
+                            "frames (ref inference.py:199-223)")
+        s.add_argument("--save_vis_interval", type=int, default=40)
     opt = p.parse_args(argv)
     if opt.cmd == "train":
         return cmd_train(opt)

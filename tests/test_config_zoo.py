@@ -83,6 +83,9 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
         eval_frames = 2
         output = None
         platforms = "cpu"
+        save_npy = True
+        save_vis = True
+        save_vis_interval = 1
 
     opt = Opt()
     opt.model_dir = model_dir
@@ -95,6 +98,9 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
     assert np.isfinite(res2["ap30"])
     assert os.path.exists(os.path.join(model_dir,
                                        "eval_intermediate.yaml"))
+    # --save_npy / --save_vis artifacts (ref inference.py workflow)
+    assert glob.glob(os.path.join(model_dir, "npy", "*.npy"))
+    assert glob.glob(os.path.join(model_dir, "vis", "*.png"))
 
     # deployment: export a serving artifact from the same run dir and
     # reload it (coalign_tpu/serving.py)
