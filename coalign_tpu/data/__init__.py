@@ -43,6 +43,7 @@ def build_dataset(params: dict, train: bool = True):
         comm_range=params.get("comm_range", 70.0),
         pos_std=args.get("pos_std", 0.0),
         rot_std=args.get("rot_std", 0.0),
+        laplace=bool(args.get("laplace", False)),
     )
     if "camera" in params.get("input_source", ["lidar"]):
         from coalign_tpu.data.camera_batch import CameraBatcher
@@ -52,7 +53,8 @@ def build_dataset(params: dict, train: bool = True):
         return base, CameraBatcher(
             max_cav=kw["max_cav"], final_dim=final_dim,
             lidar_range=kw["lidar_range"], comm_range=kw["comm_range"],
-            pos_std=kw["pos_std"], rot_std=kw["rot_std"])
+            pos_std=kw["pos_std"], rot_std=kw["rot_std"],
+            laplace=kw["laplace"])
     if train and params.get("data_augment"):
         from coalign_tpu.data.augment import WorldAugmentor
         kw["augmentor"] = WorldAugmentor(params["data_augment"])

@@ -41,7 +41,7 @@ class IntermediateFusionBatcher:
     def __init__(self, max_cav=5, max_points=30000, max_objects=100,
                  lidar_range=(-140.8, -40, -3, 140.8, 40, 1),
                  comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303,
-                 augmentor=None, train=False):
+                 augmentor=None, train=False, laplace=False):
         self.train = train
         self.max_cav = max_cav
         self.max_points = max_points
@@ -50,15 +50,17 @@ class IntermediateFusionBatcher:
         self.comm_range = comm_range
         self.pos_std = pos_std
         self.rot_std = rot_std
+        self.laplace = laplace  # ref pose_utils.py:19 'laplace' arg key
         self.rng = np.random.default_rng(seed)
         self.augmentor = augmentor  # data/augment.WorldAugmentor or None
 
     def _noise(self):
         if self.pos_std == 0 and self.rot_std == 0:
             return np.zeros(6, dtype=np.float32)
+        draw = self.rng.laplace if self.laplace else self.rng.normal
         n = np.zeros(6, dtype=np.float32)
-        n[:2] = self.rng.normal(0, self.pos_std, 2)
-        n[4] = self.rng.normal(0, self.rot_std)
+        n[:2] = draw(0, self.pos_std, 2)
+        n[4] = draw(0, self.rot_std)
         return n
 
     def assemble(self, frames: list) -> dict:

@@ -101,7 +101,8 @@ class CameraBatcher:
     def __init__(self, max_cav=5, num_cams=4, final_dim=(480, 640),
                  max_objects=100, lidar_range=(-48, -48, -3, 48, 48, 1),
                  comm_range=70.0, pos_std=0.0, rot_std=0.0, seed=303,
-                 augmentor: "CameraAugmentor | None" = None):
+                 augmentor: "CameraAugmentor | None" = None,
+                 laplace=False):
         from coalign_tpu.data.batch import IntermediateFusionBatcher
 
         self.max_cav = max_cav
@@ -112,7 +113,7 @@ class CameraBatcher:
         self.base = IntermediateFusionBatcher(
             max_cav=max_cav, max_points=1, max_objects=max_objects,
             lidar_range=lidar_range, comm_range=comm_range,
-            pos_std=pos_std, rot_std=rot_std, seed=seed)
+            pos_std=pos_std, rot_std=rot_std, seed=seed, laplace=laplace)
 
     def assemble(self, frames: list) -> dict:
         # frames may lack lidar points; give the base batcher stubs

@@ -81,6 +81,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--eval_frames", type=int, default=None)
     p.add_argument("--root_dir", default=None)
+    p.add_argument("--also_laplace", action="store_true",
+                   help="additionally sweep Laplace-distributed noise "
+                        "(ref inference_w_noise.py also_laplace)")
     opt = p.parse_args(argv)
 
     from coalign_tpu.config.yaml_utils import save_yaml
@@ -93,22 +96,34 @@ def main(argv=None):
     params, base, _, model, spec, state = _load_model_dir(opt)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def batcher_factory(pos_std, rot_std):
-        p2 = copy.deepcopy(params)
-        p2["noise_setting"] = {"add_noise": pos_std > 0 or rot_std > 0,
-                               "args": {"pos_std": pos_std,
-                                        "rot_std": rot_std,
-                                        "pos_mean": 0, "rot_mean": 0}}
-        _, b = build_dataset(p2, train=False)
-        return b
+    def make_factory(laplace: bool):
+        def batcher_factory(pos_std, rot_std):
+            p2 = copy.deepcopy(params)
+            p2["noise_setting"] = {
+                "add_noise": pos_std > 0 or rot_std > 0,
+                "args": {"pos_std": pos_std, "rot_std": rot_std,
+                         "pos_mean": 0, "rot_mean": 0,
+                         "laplace": laplace}}
+            _, b = build_dataset(p2, train=False)
+            return b
+        return batcher_factory
 
     levels = tuple((float(s), float(s))
                    for s in opt.levels.split(",") if s != "")
-    results = noise_sweep(model, variables, batcher_factory, base,
+    results = noise_sweep(model, variables, make_factory(False), base,
                           spec.anchors, postprocess_cfg(params),
                           levels=levels, batch_size=opt.batch_size,
                           max_frames=opt.eval_frames)
     out = {f"{k[0]:g}_{k[1]:g}": v for k, v in results.items()}
+    if opt.also_laplace:
+        # ref inference_w_noise.py:70-120 repeats the sweep with Laplace
+        # noise (same sigma table, 'laplace' key in noise args)
+        lap = noise_sweep(model, variables, make_factory(True), base,
+                          spec.anchors, postprocess_cfg(params),
+                          levels=levels, batch_size=opt.batch_size,
+                          max_frames=opt.eval_frames)
+        out.update({f"laplace_{k[0]:g}_{k[1]:g}": v
+                    for k, v in lap.items()})
     print(json.dumps(out))
     save_yaml(out, os.path.join(opt.model_dir, "eval_noise_sweep.yaml"))
     return results

@@ -46,7 +46,7 @@ def test_noise_sweep_cli_roundtrip(tmp_path):
     from coalign_tpu.tools.noise_sweep import main as sweep_main
     results = sweep_main(["--model_dir", model_dir,
                           "--levels", "0,0.4",
-                          "--eval_frames", "2"])
+                          "--eval_frames", "2", "--also_laplace"])
     assert set(results) == {(0.0, 0.0), (0.4, 0.4)}
     for v in results.values():
         assert np.isfinite(v["ap30"])
@@ -54,3 +54,7 @@ def test_noise_sweep_cli_roundtrip(tmp_path):
     assert os.path.exists(dumped)
     loaded = yaml.safe_load(open(dumped))
     assert "0_0" in loaded and "0.4_0.4" in loaded
+    # --also_laplace repeats the table with Laplace noise (ref
+    # inference_w_noise.py also_laplace)
+    assert "laplace_0.4_0.4" in loaded
+    assert np.isfinite(loaded["laplace_0.4_0.4"]["ap30"])
