@@ -37,7 +37,7 @@ POST = {"target_args": {"score_threshold": 0.1}, "nms_thresh": 0.15,
 def test_late_fusion_eval_beats_no_fusion():
     """Train single-agent PP briefly; late fusion over 3 agents must find
     at least as much as ego-only on the synthetic oracle."""
-    ds = SyntheticScenes(num_frames=6, num_agents=3, num_objects=4,
+    ds = SyntheticScenes(num_frames=4, num_agents=3, num_objects=4,
                          lidar_range=LIDAR_RANGE, points_per_object=48,
                          ground_points=96, seed=9)
     batcher = LateFusionBatcher(max_cav=3, max_points=1024, max_objects=8,
@@ -55,7 +55,7 @@ def test_late_fusion_eval_beats_no_fusion():
         "reg": {"sigma": 3.0, "weight": 2.0}})
 
     # train on single-cav items (late-fusion train protocol)
-    train_batch = batcher.assemble_train([ds[i] for i in range(6)])
+    train_batch = batcher.assemble_train([ds[i] for i in range(4)])
     train_batch = {k: jax.numpy.asarray(v) for k, v in train_batch.items()}
     tx = build_optimizer({"lr": 3e-3, "args": {}}, None)
     state = create_train_state(model, train_batch, tx,
@@ -69,7 +69,7 @@ def test_late_fusion_eval_beats_no_fusion():
                         batch_size=2, fusion_method="late")
     res_no = evaluate(model, variables, batcher, ds, spec.anchors, POST,
                       batch_size=2, fusion_method="no")
-    assert res_late["frames"] == res_no["frames"] == 6
+    assert res_late["frames"] == res_no["frames"] == 4
     for k in ("ap30", "ap50"):
         assert np.isfinite(res_late[k]) and np.isfinite(res_no[k])
     # with a briefly-trained detector extra agents can add a few false
