@@ -329,6 +329,17 @@ def cmd_config_generate(opt):
     print(out)
 
 
+def _apply_bf16(opt):
+    if getattr(opt, "bf16", False):
+        import jax.numpy as jnp
+
+        from coalign_tpu.models.layers import set_compute_dtype
+
+        # MXU-native conv/matmul dtype; params, BN stats and geometry stay
+        # f32 (ref train.py --half is the torch fp16 counterpart)
+        set_compute_dtype(jnp.bfloat16)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -356,7 +367,11 @@ def main(argv=None):
                             "<model_dir>/vis every save_vis_interval "
                             "frames (ref inference.py:199-223)")
         s.add_argument("--save_vis_interval", type=int, default=40)
+        s.add_argument("--bf16", action="store_true",
+                       help="bfloat16 compute policy for convs/matmuls "
+                            "(ref train.py --half; params stay f32)")
     opt = p.parse_args(argv)
+    _apply_bf16(opt)
     if opt.cmd == "train":
         return cmd_train(opt)
     if opt.cmd == "inference":

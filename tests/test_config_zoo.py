@@ -109,3 +109,18 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
     artifact = cmd_export(opt)
     serving = load_artifact(artifact)
     assert serving.meta["platforms"] == ["cpu"]
+
+
+def test_cli_bf16_flag_sets_compute_policy():
+    from coalign_tpu.models.layers import compute_dtype, set_compute_dtype
+    from coalign_tpu.tools.run import _apply_bf16
+
+    class Opt:
+        bf16 = True
+
+    try:
+        _apply_bf16(Opt())
+        import jax.numpy as jnp
+        assert compute_dtype() == jnp.bfloat16
+    finally:
+        set_compute_dtype(None)
