@@ -93,6 +93,17 @@ def cmd_train(opt):
                          max(1, len(base) // tp["batch_size"]))
     state = create_train_state(model, {k: np.asarray(v)
                                        for k, v in batch0.items()}, tx)
+    # resume: continue from the latest checkpoint already in model_dir
+    # (ref tools/train.py:55-75 load_saved_model at init_epoch)
+    ckpts = sorted((d for d in os.listdir(model_dir)
+                    if d.startswith("step_")),
+                   key=lambda d: int(d.split("_")[1]))
+    start_step = 0
+    if ckpts:
+        from coalign_tpu.train import load_checkpoint
+        state = load_checkpoint(os.path.join(model_dir, ckpts[-1]), state)
+        start_step = int(ckpts[-1].split("_")[1])
+        print(json.dumps({"resumed_from": ckpts[-1]}))
     n_dev = len(jax.devices())
     mesh = (make_mesh(n_dev)
             if n_dev > 1 and tp["batch_size"] % n_dev == 0 else None)
@@ -121,9 +132,10 @@ def cmd_train(opt):
         epochs=opt.epochs or tp["epoches"], batch_size=tp["batch_size"],
         ckpt_dir=model_dir, save_freq=tp.get("save_freq", 0), mesh=mesh,
         callback=log, val_dataset=val_base,
-        eval_freq=tp.get("eval_freq", 0))
+        eval_freq=tp.get("eval_freq", 0), start_step=start_step)
     tb_close()
-    path = save_checkpoint(state, model_dir, step=len(history))
+    path = save_checkpoint(state, model_dir,
+                           step=start_step + max(len(history), 1))
     print(f"saved {path}")
 
     res = evaluate(model,
@@ -154,8 +166,14 @@ def _load_model_dir(opt, params_hook=None):
         params["validate_dir"] = opt.root_dir
     if params_hook is not None:
         params = params_hook(params)
-    ckpts = sorted(d for d in os.listdir(opt.model_dir)
-                   if d.startswith("step_"))
+    # prefer the bestval slot, else the numerically-latest epoch snapshot
+    # (ref train_utils.py:29-74 load_saved_model; note lexicographic sort
+    # would pick step_9 over step_10)
+    ckpts = sorted((d for d in os.listdir(opt.model_dir)
+                    if d.startswith("step_")),
+                   key=lambda d: int(d.split("_")[1]))
+    if os.path.isdir(os.path.join(opt.model_dir, "bestval")):
+        ckpts.append("bestval")
     pths = sorted(f for f in os.listdir(opt.model_dir)
                   if f.endswith(".pth"))
     if pths and not ckpts:
@@ -171,6 +189,7 @@ def _load_model_dir(opt, params_hook=None):
     if ckpts:
         state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
                                 state)
+        print(json.dumps({"loaded_checkpoint": ckpts[-1]}))
     elif pths:
         # a reference (opencood torch) model dir: import net_epoch*.pth
         # directly (ref tools/train_utils.py:29-74 load_saved_model).
@@ -290,8 +309,9 @@ def cmd_precalc(opt):
             if ckpt and os.path.exists(ckpt):
                 if os.path.isdir(ckpt) and not os.path.basename(
                         ckpt).startswith("step_"):
-                    steps = sorted(d for d in os.listdir(ckpt)
-                                   if d.startswith("step_"))
+                    steps = sorted((d for d in os.listdir(ckpt)
+                                    if d.startswith("step_")),
+                                   key=lambda d: int(d.split("_")[1]))
                     if steps:
                         ckpt = os.path.join(ckpt, steps[-1])
                 state = load_checkpoint(ckpt, state)

@@ -121,8 +121,9 @@ def main(argv=None):
     t_vars = jax.jit(lambda k, b: teacher.init(k, b, train=False))(
         jax.random.PRNGKey(1), batch0)
     if opt.teacher_dir:
-        ckpts = sorted(d for d in os.listdir(opt.teacher_dir)
-                       if d.startswith("step_"))
+        ckpts = sorted((d for d in os.listdir(opt.teacher_dir)
+                        if d.startswith("step_")),
+                       key=lambda d: int(d.split("_")[1]))
         if ckpts:
             tx_t = build_optimizer({"core_method": "Adam", "lr": 1e-3},
                                    None)

@@ -142,15 +142,18 @@ def train_epochs(model, loss_fn, anchor_spec, state, batcher, dataset,
                  *, epochs: int, batch_size: int, log_every: int = 10,
                  ckpt_dir: str | None = None, save_freq: int = 0,
                  mesh=None, callback=None, val_dataset=None,
-                 eval_freq: int = 0):
+                 eval_freq: int = 0, start_step: int = 0):
     """Epoch loop with periodic validation + bestval checkpoint
     (ref train.py:102-171: save_freq snapshots, eval_freq validation,
-    bestval tracking at :153-168; DDP scaffolding replaced by the mesh)."""
+    bestval tracking at :153-168; DDP scaffolding replaced by the mesh).
+
+    start_step offsets checkpoint numbering when resuming so snapshots
+    never collide with an earlier run's."""
     from coalign_tpu.data.prefetch import prefetch
 
     step_fn = make_train_step(model, loss_fn, anchor_spec)
     history = []
-    step = 0
+    step = start_step
     best_val = float("inf")
     for epoch in range(epochs):
         t0 = time.time()

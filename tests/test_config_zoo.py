@@ -44,7 +44,7 @@ def test_config_builds(path):
         assert spec.anchors.shape[-1] == 7
 
 
-def test_cli_train_and_inference_roundtrip(tmp_path):
+def test_cli_train_and_inference_roundtrip(tmp_path, capsys):
     from coalign_tpu.data import SyntheticScenes
     from coalign_tpu.data.fixtures import write_opv2v_fixture
     from coalign_tpu.tools.run import main
@@ -62,7 +62,8 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
                                   "pointpillar_coalign.yaml"))
     base["root_dir"] = root
     base["validate_dir"] = root
-    base["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2,
+                                eval_freq=1)
     base["preprocess"]["cav_lidar_range"] = lr
     base["postprocess"]["gt_range"] = lr
     base["postprocess"]["anchor_args"]["cav_lidar_range"] = lr
@@ -94,7 +95,17 @@ def test_cli_train_and_inference_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(model_dir, "config.yaml"))
     assert np.isfinite(res["ap30"])
 
+    # second train in the same dir must RESUME from the snapshot
+    # (ref train.py:55-75), and eval_freq=1 wrote a bestval slot
+    capsys.readouterr()
+    cmd_train(opt)
+    out = capsys.readouterr().out
+    assert '"resumed_from"' in out
+    assert os.path.isdir(os.path.join(model_dir, "bestval"))
+
     res2 = cmd_inference(opt)
+    # eval prefers the bestval slot like ref train_utils load_saved_model
+    assert '"loaded_checkpoint": "bestval"' in capsys.readouterr().out
     assert np.isfinite(res2["ap30"])
     assert os.path.exists(os.path.join(model_dir,
                                        "eval_intermediate.yaml"))
