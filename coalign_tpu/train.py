@@ -27,8 +27,10 @@ class TrainState(train_state.TrainState):
 
 def build_optimizer(opt_cfg: dict, sched_cfg: dict | None,
                     steps_per_epoch: int = 1000):
-    """Adam + multistep/exp/cosanneal schedule from the yaml ``optimizer`` /
-    ``lr_scheduler`` subtrees (ref train_utils.py:185-246)."""
+    """Adam + step/multistep/exponential schedule from the yaml
+    ``optimizer`` / ``lr_scheduler`` subtrees — the reference's three
+    scheduler kinds (ref train_utils.py:209-246: StepLR, MultiStepLR,
+    ExponentialLR; all step once per epoch)."""
     lr = opt_cfg.get("lr", 1e-3)
     if sched_cfg:
         method = sched_cfg.get("core_method", "multistep")
@@ -37,9 +39,16 @@ def build_optimizer(opt_cfg: dict, sched_cfg: dict | None,
             bounds = {int(e) * steps_per_epoch: gamma
                       for e in sched_cfg.get("step_size", [])}
             schedule = optax.piecewise_constant_schedule(lr, bounds)
-        elif method == "exponential":
+        elif method == "step":
+            # StepLR: decay by gamma every step_size EPOCHS
             schedule = optax.exponential_decay(
-                lr, steps_per_epoch, sched_cfg.get("gamma", 0.98))
+                lr, int(sched_cfg.get("step_size", 1)) * steps_per_epoch,
+                sched_cfg.get("gamma", 0.1), staircase=True)
+        elif method == "exponential":
+            # ExponentialLR steps once per epoch -> staircase
+            schedule = optax.exponential_decay(
+                lr, steps_per_epoch, sched_cfg.get("gamma", 0.98),
+                staircase=True)
         else:
             schedule = lr
     else:

@@ -81,6 +81,41 @@ def test_stage_timer():
     assert s["a"]["count"] == 2 and s["a"]["total_s"] >= 0
 
 
+def test_lr_schedules_match_reference_semantics(monkeypatch):
+    """step / multistep / exponential decay once per EPOCH
+    (ref train_utils.py:209-246: StepLR / MultiStepLR / ExponentialLR).
+    Captures the schedule build_optimizer actually hands to adam."""
+    from coalign_tpu import train as T
+
+    captured = {}
+    real_adam = T.optax.adam
+
+    def spy(lr, **kw):
+        captured["sched"] = lr
+        return real_adam(lr, **kw)
+
+    monkeypatch.setattr(T.optax, "adam", spy)
+    spe = 10  # steps per epoch
+
+    def sched(cfg):
+        T.build_optimizer({"lr": 1.0, "args": {}}, cfg, spe)
+        return captured["sched"]
+
+    ms = sched({"core_method": "multistep", "step_size": [1, 3],
+                "gamma": 0.1})
+    assert float(ms(5)) == 1.0
+    assert abs(float(ms(15)) - 0.1) < 1e-6
+    assert abs(float(ms(35)) - 0.01) < 1e-6
+
+    st = sched({"core_method": "step", "step_size": 2, "gamma": 0.5})
+    assert float(st(19)) == 1.0 and float(st(20)) == 0.5
+    assert float(st(45)) == 0.25  # staircase within epoch 4
+
+    ex = sched({"core_method": "exponential", "gamma": 0.9})
+    assert float(ex(9)) == 1.0  # staircase: flat within epoch 0
+    assert abs(float(ex(10)) - 0.9) < 1e-6
+
+
 def test_device_trace_writes_xplane(tmp_path):
     import glob
     import os
