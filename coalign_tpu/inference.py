@@ -146,12 +146,17 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
              batch_size: int = 1, max_frames: int | None = None,
              fusion_method: str = "intermediate", npy_dir: str = None,
              vis_dir: str = None, vis_interval: int = 40,
-             lidar_range=None):
+             lidar_range=None, batch_hook=None):
     """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts).
 
     fusion_method dispatch mirrors ref tools/inference.py:40-227:
     'intermediate' / 'early' decode the fused output; 'late', 'no',
     'no_w_uncertainty' run per-agent + joint NMS.
+
+    batch_hook(batch, frame_ids) -> batch runs before inference — the
+    offline CoAlign box_align correction hook (ref
+    intermediate_fusion_dataset.py:301-328 rewrites lidar_pose per item
+    from the precalc json before pairwise transforms).
     """
     if fusion_method in ("late", "no", "no_w_uncertainty", "single"):
         infer = make_late_infer_fn(
@@ -174,6 +179,10 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
                             drop_last=False), size=2, to_device=False)):
         # tree_map, not a flat dict comprehension: camera batches nest
         # image_inputs
+        if batch_hook is not None:
+            rows = int(np.shape(batch["gt_boxes"])[0])
+            batch = batch_hook(batch, list(range(
+                bidx * batch_size, bidx * batch_size + rows)))
         dets = infer(variables, jax.tree.map(jnp.asarray, batch))
         dets = jax.tree_util.tree_map(np.asarray, dets)
         comm_bytes += frame_comm_bytes(

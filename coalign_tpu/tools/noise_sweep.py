@@ -21,7 +21,7 @@ NOISE_LEVELS = ((0.0, 0.0), (0.2, 0.2), (0.4, 0.4), (0.6, 0.6))
 def noise_sweep(model, variables, batcher_factory, dataset, anchors,
                 postprocess_cfg, *, stage1=None, stage1_variables=None,
                 align_cfg=None, levels=NOISE_LEVELS, batch_size=4,
-                max_frames=None):
+                max_frames=None, batch_hook=None):
     """Returns {(pos_std, rot_std): {'ap30','ap50','ap70'}}.
 
     batcher_factory(pos_std, rot_std) must return a fresh batcher so each
@@ -38,9 +38,15 @@ def noise_sweep(model, variables, batcher_factory, dataset, anchors,
         batcher = batcher_factory(pos_std, rot_std)
         stat = E.new_result_stat()
         frames = 0
-        for batch in batcher.batches(dataset, batch_size, shuffle=False,
-                                     drop_last=False):
+        for bidx, batch in enumerate(batcher.batches(
+                dataset, batch_size, shuffle=False, drop_last=False)):
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if batch_hook is not None and (pos_std > 0 or rot_std > 0):
+                # offline CoAlign correction from the precalc json,
+                # re-solved against THIS level's noise draw
+                rows = int(batch["gt_boxes"].shape[0])
+                jbatch = batch_hook(jbatch, list(range(
+                    bidx * batch_size, bidx * batch_size + rows)))
             if stage1 is not None and (pos_std > 0 or rot_std > 0):
                 dets = stage1(stage1_variables, jbatch)
                 jbatch = correct_batch_poses(
@@ -110,10 +116,12 @@ def main(argv=None):
 
     levels = tuple((float(s), float(s))
                    for s in opt.levels.split(",") if s != "")
+    from coalign_tpu.tools.run import _box_align_hook
+    hook = _box_align_hook(params)
     results = noise_sweep(model, variables, make_factory(False), base,
                           spec.anchors, postprocess_cfg(params),
                           levels=levels, batch_size=opt.batch_size,
-                          max_frames=opt.eval_frames)
+                          max_frames=opt.eval_frames, batch_hook=hook)
     out = {f"{k[0]:g}_{k[1]:g}": v for k, v in results.items()}
     if opt.also_laplace:
         # ref inference_w_noise.py:70-120 repeats the sweep with Laplace
@@ -121,7 +129,7 @@ def main(argv=None):
         lap = noise_sweep(model, variables, make_factory(True), base,
                           spec.anchors, postprocess_cfg(params),
                           levels=levels, batch_size=opt.batch_size,
-                          max_frames=opt.eval_frames)
+                          max_frames=opt.eval_frames, batch_hook=hook)
         out.update({f"laplace_{k[0]:g}_{k[1]:g}": v
                     for k, v in lap.items()})
     print(json.dumps(out))

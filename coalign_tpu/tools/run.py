@@ -206,6 +206,31 @@ def _load_model_dir(opt, params_hook=None):
     return params, base, batcher, model, spec, state
 
 
+def _box_align_hook(params: dict):
+    """Offline CoAlign pass 2 for eval: when the config's ``box_align``
+    block points at an existing precalc ``stage1_boxes.json`` (ref
+    pointpillar_coalign.yaml:34-44 + intermediate_fusion_dataset.py:
+    301-328), return a batch hook that pose-graph-corrects each batch's
+    noisy poses before inference. Returns None when not configured."""
+    ba = params.get("box_align") or {}
+    path = ba.get("val_result") or ba.get("test_result")
+    if not path or not os.path.exists(str(path)):
+        return None
+    from coalign_tpu.posegraph.box_align import BoxAlignConfig
+    from coalign_tpu.tools.stage1 import (correct_batch_poses_from_json,
+                                          load_stage1_json)
+
+    content = load_stage1_json(str(path))
+    cfg = BoxAlignConfig.from_yaml(ba.get("args", {}))
+
+    def hook(batch, frame_ids):
+        return correct_batch_poses_from_json(batch, content, frame_ids,
+                                             cfg)
+
+    print(json.dumps({"box_align_json": str(path)}))
+    return hook
+
+
 def cmd_inference(opt):
     import contextlib
 
@@ -232,7 +257,8 @@ def cmd_inference(opt):
                        fusion_method=opt.fusion_method,
                        max_frames=opt.eval_frames,
                        npy_dir=npy_dir, vis_dir=vis_dir,
-                       vis_interval=getattr(opt, "save_vis_interval", 40))
+                       vis_interval=getattr(opt, "save_vis_interval", 40),
+                       batch_hook=_box_align_hook(params))
     print(json.dumps({"eval": res}))
     from coalign_tpu.config.yaml_utils import save_yaml
     save_yaml(res, os.path.join(

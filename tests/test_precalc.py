@@ -59,7 +59,7 @@ def _precalc_yaml(tmp_path, root):
     return path
 
 
-def test_precalc_cli_dumps_json_and_offline_correction(tmp_path):
+def test_precalc_cli_dumps_json_and_offline_correction(tmp_path, capsys):
     root = _fixture(tmp_path)
     cfg = _precalc_yaml(tmp_path, root)
 
@@ -103,3 +103,33 @@ def test_precalc_cli_dumps_json_and_offline_correction(tmp_path):
     delta = np.abs(np.asarray(out["lidar_pose"])
                    - np.asarray(batch["lidar_pose"]))
     assert delta[..., :2].max() < 2.0
+
+    # ---- CLI wiring: inference applies the json hook automatically when
+    # the config's box_align block points at the dump (run.py
+    # _box_align_hook; ref intermediate_fusion_dataset.py:301-328) ----
+    model_dir = tmp_path / "balign_run"
+    model_dir.mkdir()
+    params2 = load_yaml(os.path.join(HYPES_DIR, "opv2v",
+                                     "pointpillar_coalign.yaml"))
+    params2["root_dir"] = root
+    params2["validate_dir"] = root
+    params2["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    params2["preprocess"]["cav_lidar_range"] = LR
+    params2["postprocess"]["gt_range"] = LR
+    params2["postprocess"]["anchor_args"]["cav_lidar_range"] = LR
+    params2["model"]["args"]["lidar_range"] = LR
+    params2["box_align"] = {
+        "val_result": written[0],
+        "args": {"landmark_SE2": False, "abandon_hard_cases": False},
+    }
+    params2["noise_setting"] = {"add_noise": True,
+                                "args": {"pos_std": 0.2, "rot_std": 0.2,
+                                         "pos_mean": 0, "rot_mean": 0}}
+    with open(model_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(params2, f)
+    from coalign_tpu.tools.run import main as run_main
+    capsys.readouterr()
+    res = run_main(["inference", "--model_dir", str(model_dir),
+                    "--eval_frames", "2"])
+    assert '"box_align_json"' in capsys.readouterr().out
+    assert np.isfinite(res["ap30"])
