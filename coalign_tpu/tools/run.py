@@ -91,8 +91,7 @@ def cmd_train(opt):
     batch0 = batcher.assemble([base[0]])
     tx = build_optimizer(params["optimizer"], params.get("lr_scheduler"),
                          max(1, len(base) // tp["batch_size"]))
-    state = create_train_state(model, {k: np.asarray(v)
-                                       for k, v in batch0.items()}, tx)
+    state = create_train_state(model, jax.tree.map(np.asarray, batch0), tx)
     # resume: continue from the latest checkpoint already in model_dir
     # (ref tools/train.py:55-75 load_saved_model at init_epoch)
     ckpts = sorted((d for d in os.listdir(model_dir)
@@ -184,8 +183,8 @@ def _load_model_dir(opt, params_hook=None):
     base, batcher, model, _, spec = build_all(params, train=False)
     batch0 = batcher.assemble([base[0]])
     tx = build_optimizer(params["optimizer"], None)
-    state = create_train_state(model, {k: np.asarray(v)
-                                       for k, v in batch0.items()}, tx)
+    state = create_train_state(model, jax.tree.map(np.asarray, batch0),
+                               tx)
     if ckpts:
         state = load_checkpoint(os.path.join(opt.model_dir, ckpts[-1]),
                                 state)
@@ -274,8 +273,7 @@ def cmd_export(opt):
     from coalign_tpu.serving import export_inference
 
     params, base, batcher, model, spec, state = _load_model_dir(opt)
-    batch0 = {k: np.asarray(v)
-              for k, v in batcher.assemble([base[0]]).items()}
+    batch0 = jax.tree.map(np.asarray, batcher.assemble([base[0]]))
     out = opt.output or os.path.join(opt.model_dir, "serving_artifact")
     platforms = tuple((opt.platforms or "cpu,tpu").split(","))
     export_inference(model,

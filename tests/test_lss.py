@@ -307,3 +307,54 @@ def test_lss_learns_from_rendered_views():
     l1 = float(m["total_loss"])
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < 0.5 * l0, f"camera branch did not learn: {l0} -> {l1}"
+
+
+def test_camera_cli_train_inference_roundtrip(tmp_path):
+    """Full camera workflow through the CLI runner: OPV2V camera fixture ->
+    cmd_train (camera batcher, nested image_inputs) -> cmd_inference.
+    Guards the nested-batch handling in run.py (a flat np.asarray over the
+    batch dict would choke on image_inputs)."""
+    import os
+
+    import yaml
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.run import main as run_main
+
+    lr = [-8.0, -8.0, -3.0, 8.0, 8.0, 1.0]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=16,
+                             ground_points=32, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "cam"), scenes,
+                               frames_per_scenario=2, with_cameras=True,
+                               cam_hw=(64, 96))
+
+    hypes = os.path.join(os.path.dirname(__file__), "..", "coalign_tpu",
+                         "hypes_yaml", "opv2v", "lss_coalign_fusion.yaml")
+    base = load_yaml(hypes)
+    base["root_dir"] = root
+    base["validate_dir"] = root
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2,
+                                eval_freq=0)
+    base["noise_setting"] = {"add_noise": False}
+    base["preprocess"]["cav_lidar_range"] = lr
+    base["postprocess"]["gt_range"] = lr
+    base["postprocess"]["anchor_args"]["cav_lidar_range"] = lr
+    base["model"]["args"].update(
+        grid_conf=GRID_CONF, data_aug_conf=AUG_CONF, img_features=16,
+        bev_out_channels=32,
+        fusion_args={"core_method": "att_ms", "att": {"feat_dim": 32}})
+    cfg_path = str(tmp_path / "lss_tiny.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(base, f)
+
+    model_dir = str(tmp_path / "cam_run")
+    state, res = run_main(["train", "-y", cfg_path, "--model_dir",
+                           model_dir, "--epochs", "1",
+                           "--eval_frames", "1"])
+    assert np.isfinite(res["ap30"])
+    res2 = run_main(["inference", "--model_dir", model_dir,
+                     "--eval_frames", "1"])
+    assert np.isfinite(res2["ap30"])
