@@ -187,8 +187,14 @@ class EarlyFusionBatcher(IntermediateFusionBatcher):
                & (points[..., 1] >= r[1]) & (points[..., 1] < r[4]))
         mask &= inr
 
+        # what actually crosses the channel: valid NON-EGO points after
+        # projection (eval-time bandwidth accounting, ref
+        # lidar_benchmark.md:9 'Early' row = raw points shipped)
+        shipped = mask.reshape(b, l, n)[:, 1:].sum(-1).sum(-1)
+
         # repack into (B, 1, L*N, 4) — one merged virtual agent
         out = {
+            "shipped_points": shipped.astype(np.float32),
             "points": points[:, None],
             "point_mask": mask[:, None],
             "agent_mask": np.ones((b, 1), dtype=bool),

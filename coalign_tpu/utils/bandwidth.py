@@ -65,6 +65,11 @@ def frame_comm_bytes(fusion_method: str, batch: dict, model=None,
     agent_mask = np.asarray(batch["agent_mask"])  # (B, L)
     links = max(int(agent_mask.sum()) - agent_mask.shape[0], 0)
     if fusion_method == "early":
+        if "shipped_points" in batch:
+            # per-frame count recorded by EarlyFusionBatcher at merge time
+            # (the merged single-virtual-agent batch hides the split)
+            return float(np.sum(np.asarray(batch["shipped_points"]))) * 4 \
+                * 4.0
         pm = np.asarray(batch.get("point_mask", np.zeros((1, 1, 0))))
         non_ego = pm[:, 1:].sum() if pm.ndim == 3 else 0.0
         return float(non_ego) * 4 * 4.0
