@@ -137,11 +137,17 @@ def cmd_train(opt):
                            step=start_step + max(len(history), 1))
     print(f"saved {path}")
 
+    # end-of-train eval follows the config's fusion protocol (ref
+    # train.py:187-194 spawns inference.py with the matching fusion flag)
+    fusion_kind = params.get("fusion", {}).get("core_method",
+                                               "intermediate")
+    method = fusion_kind if fusion_kind in ("late", "early") \
+        else "intermediate"
     res = evaluate(model,
                    {"params": state.params,
                     "batch_stats": state.batch_stats},
                    batcher, base, spec.anchors, postprocess_cfg(params),
-                   max_frames=opt.eval_frames)
+                   max_frames=opt.eval_frames, fusion_method=method)
     print(json.dumps({"eval": res}))
     return state, res
 
