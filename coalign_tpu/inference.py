@@ -33,6 +33,21 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
     def infer(variables, batch):
         out = model.apply(variables, batch, train=False)
 
+        if "cls_preds" not in out and "boxes_refined" in out:
+            # two-stage families (fpvrcnn/fvoxelrcnn) emit RoI-refined
+            # boxes, not anchor maps (ref fpvrcnn_postprocessor.py:21-246)
+            from coalign_tpu.postprocess.decode import (
+                post_process_refined_frame)
+
+            def per_frame2(b7, cls, rm, tfm):
+                return post_process_refined_frame(
+                    b7, cls, rm, tfm, score_threshold=score_thr,
+                    nms_threshold=nms_thr, gt_range=gt_range)
+
+            return jax.vmap(per_frame2)(
+                out["boxes_refined"], out["roi_cls"], out["roi_mask"],
+                batch["transformation_matrix"])
+
         def per_frame(cls_p, reg_p, dir_p, tfm):
             return post_process_frame(
                 cls_p, reg_p, anchors, tfm, dir_preds=dir_p,

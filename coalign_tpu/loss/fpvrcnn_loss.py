@@ -60,9 +60,24 @@ class FpvRcnnLoss:
         self.stage2_reg_weight = stage2_reg_weight
         self.stage = stage
 
+    # make_train_step computes per-agent "_single" labels for this loss
+    # (ref supervise_single second pass, train.py:119-121)
+    wants_single_labels = True
+
     def __call__(self, outputs: dict, labels: dict):
-        # stage-1 supervision on per-agent maps when single labels provided
-        if "cls_preds_single" in outputs and "pos_equal_one" in labels:
+        # stage-1 supervision on per-agent maps against per-agent labels
+        if "cls_preds_single" in outputs and "pos_equal_one_single" in \
+                labels:
+            s1_out = {k[:-len("_single")]: v for k, v in outputs.items()
+                      if k.endswith("_single")}
+            s1_labels = {k[:-len("_single")]: v for k, v in labels.items()
+                         if k.endswith("_single")}
+            total, metrics = self.det_loss(s1_out, s1_labels)
+        elif "cls_preds_single" in outputs and "pos_equal_one" in labels \
+                and (outputs["cls_preds_single"].shape[0]
+                     == labels["pos_equal_one"].shape[0]):
+            # legacy path: caller supplied frame-level labels that already
+            # match the per-agent rows (single-agent batches)
             s1_out = {k[:-len("_single")]: v for k, v in outputs.items()
                       if k.endswith("_single")}
             total, metrics = self.det_loss(s1_out, labels)

@@ -154,3 +154,40 @@ def assign_targets(gt_boxes, gt_mask, spec: AnchorSpec):
         "neg_equal_one": neg.reshape(H, W, A).astype(jnp.float32),
         "targets": t.reshape(H, W, A * 7).astype(jnp.float32),
     }
+
+
+def assign_targets_per_agent(gt_boxes, gt_mask, lidar_pose_clean,
+                             agent_mask, spec: AnchorSpec):
+    """Per-agent "single" labels for ONE sample (vmap for batch).
+
+    The reference's ``supervise_single`` path builds a per-agent
+    ``label_dict_single`` with each agent's labels in its OWN frame (ref
+    intermediate_fusion_dataset.py:363-377 + train.py:119-121 second loss
+    pass). Here the fused ego-frame gt is projected into every agent's
+    frame with the CLEAN poses and assigned against the same anchor grid;
+    padded agents get all-negative labels.
+
+    gt_boxes: (M, 7) ego-frame, gt_mask: (M,), lidar_pose_clean: (L, 6),
+    agent_mask: (L,). Returns labels dict with a leading L axis.
+    """
+    import jax
+
+    from coalign_tpu.utils.box_utils import project_boxes7_by_tfm
+    from coalign_tpu.utils.transforms import x1_to_x2_tfm
+
+    pose_ego = lidar_pose_clean[0]
+
+    def per_agent(pose_a, valid):
+        tfm = x1_to_x2_tfm(pose_ego, pose_a)  # T_agent<-ego
+        g = project_boxes7_by_tfm(jnp.asarray(gt_boxes), tfm, spec.order)
+        labels = assign_targets(g, jnp.asarray(gt_mask) & valid, spec)
+        # a padded agent supervises nothing: no positives, all negatives
+        labels["pos_equal_one"] = jnp.where(valid, labels["pos_equal_one"],
+                                            0.0)
+        labels["neg_equal_one"] = jnp.where(valid, labels["neg_equal_one"],
+                                            1.0)
+        labels["targets"] = jnp.where(valid, labels["targets"], 0.0)
+        return labels
+
+    return jax.vmap(per_agent)(jnp.asarray(lidar_pose_clean),
+                               jnp.asarray(agent_mask))

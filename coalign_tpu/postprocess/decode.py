@@ -162,3 +162,35 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
         # (ref uncertainty_voxel_postprocessor.py post_process_stage1:31)
         out["uncertainty"] = ranked[:, 32:32 + unc_dim] * keep[:, None]
     return out
+
+
+def post_process_refined_frame(boxes7, cls_logits, roi_mask,
+                               transformation_matrix, *,
+                               score_threshold: float,
+                               nms_threshold: float, gt_range,
+                               order: str = "hwl"):
+    """Decode ONE frame of two-stage (RoI-refined) outputs.
+
+    The FPV-RCNN / FVoxelRCNN families emit already-decoded stage-2 boxes
+    (``boxes_refined`` + RoI confidence) instead of anchor maps — the
+    reference evals them through FpvrcnnPostprocessor (ref
+    fpvrcnn_postprocessor.py:21-246: sigmoid conf -> project -> NMS ->
+    range mask). Same masked fixed-shape contract as post_process_frame.
+    """
+    r = boxes7.shape[0]
+    scores = jax.nn.sigmoid(cls_logits.reshape(r))
+    boxes7 = B.project_boxes7_by_tfm(boxes7, transformation_matrix, order)
+    corners = B.boxes_to_corners_3d(boxes7, order)
+    valid = (jnp.asarray(roi_mask).reshape(r)
+             & (scores > score_threshold)
+             & B.mask_corners_outside_range(corners, gt_range))
+    nms_order, keep = nms_rotated(corners[:, :4, :2], scores, valid,
+                                  nms_threshold)
+    ranked = jnp.concatenate([corners.reshape(r, 24), boxes7,
+                              scores[:, None]], axis=-1)[nms_order]
+    return {
+        "corners3d": ranked[:, :24].reshape(-1, 8, 3) * keep[:, None, None],
+        "boxes7": ranked[:, 24:31] * keep[:, None],
+        "scores": jnp.where(keep, ranked[:, 31], 0.0),
+        "mask": keep,
+    }

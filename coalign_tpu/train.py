@@ -81,6 +81,19 @@ def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
     def step(state: TrainState, batch: dict):
         labels = jax.vmap(partial(assign_targets, spec=anchor_spec))(
             batch["gt_boxes"], batch["gt_mask"])
+        if getattr(loss_fn, "wants_single_labels", False):
+            # per-agent stage-1 / supervise_single labels (ref
+            # train.py:119-121 second loss pass with suffix "_single"):
+            # flattened to (B*L, ...) matching the *_single output rows
+            from coalign_tpu.postprocess.anchors import (
+                assign_targets_per_agent)
+            singles = jax.vmap(partial(assign_targets_per_agent,
+                                       spec=anchor_spec))(
+                batch["gt_boxes"], batch["gt_mask"],
+                batch["lidar_pose_clean"], batch["agent_mask"])
+            labels.update({
+                k + "_single": v.reshape((-1,) + v.shape[2:])
+                for k, v in singles.items()})
 
         def loss_of(params):
             out, mutated = state.apply_fn(

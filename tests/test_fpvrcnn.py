@@ -184,3 +184,48 @@ def test_fpvrcnn_vsa_keypoint_stage2():
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
     gnorm = sum(float(np.abs(np.asarray(leaf)).sum()) for leaf in leaves)
     assert gnorm > 0
+
+
+def test_fpvrcnn_cli_train_inference_roundtrip(tmp_path):
+    """Full two-stage workflow through the CLI: per-agent stage-1 labels
+    (supervise_single path in make_train_step) + the RoI-refined decode in
+    evaluate (post_process_refined_frame) — neither is reachable from the
+    module-level tests above."""
+    import os
+
+    import yaml
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.run import main as run_main
+
+    lr = [-8.0, -8.0, -3.0, 8.0, 8.0, 1.0]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=2,
+                             lidar_range=lr, points_per_object=24,
+                             ground_points=48, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+    hypes = os.path.join(os.path.dirname(__file__), "..", "coalign_tpu",
+                         "hypes_yaml", "opv2v", "fpvrcnn.yaml")
+    base = load_yaml(hypes)
+    base["root_dir"] = root
+    base["validate_dir"] = root
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    base["noise_setting"] = {"add_noise": False}
+    base["preprocess"]["cav_lidar_range"] = lr
+    base["preprocess"]["args"]["voxel_size"] = [0.5, 0.5, 0.5]
+    base["postprocess"]["gt_range"] = lr
+    base["postprocess"]["anchor_args"]["cav_lidar_range"] = lr
+    base["model"]["args"]["lidar_range"] = lr
+    base["model"]["args"]["voxel_size"] = [0.5, 0.5, 0.5]
+    cfg = str(tmp_path / "fpvrcnn.yaml")
+    with open(cfg, "w") as f:
+        yaml.safe_dump(base, f)
+    model_dir = str(tmp_path / "run")
+    state, res = run_main(["train", "-y", cfg, "--model_dir", model_dir,
+                           "--epochs", "1", "--eval_frames", "1"])
+    assert np.isfinite(res["ap30"])
+    res2 = run_main(["inference", "--model_dir", model_dir,
+                     "--eval_frames", "1"])
+    assert np.isfinite(res2["ap30"])
