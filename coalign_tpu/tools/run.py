@@ -242,6 +242,14 @@ def cmd_inference(opt):
     from coalign_tpu.inference import evaluate
 
     params, base, batcher, model, spec, state = _load_model_dir(opt)
+    if not opt.fusion_method:
+        # default from the trained config: a late/early run must be
+        # decoded with its own protocol (the anchor-map decode crashes on
+        # a late model's per-agent outputs)
+        kind = params.get("fusion", {}).get("core_method", "intermediate")
+        opt.fusion_method = kind if kind in ("late", "early") \
+            else "intermediate"
+        print(json.dumps({"fusion_method": opt.fusion_method}))
     trace = contextlib.nullcontext()
     if getattr(opt, "profile", None):
         # device trace (XProf/TensorBoard) around the whole eval loop —
@@ -400,7 +408,9 @@ def main(argv=None):
         s.add_argument("--model_dir", default=None)
         s.add_argument("--root_dir", default=None,
                        help="override dataset root")
-        s.add_argument("--fusion_method", default="intermediate")
+        s.add_argument("--fusion_method", default=None,
+                       help="late/early/intermediate/no/no_w_uncertainty/"
+                            "single; defaults to the config's fusion kind")
         s.add_argument("--epochs", type=int, default=None)
         s.add_argument("--eval_frames", type=int, default=None)
         s.add_argument("--output", default=None)
