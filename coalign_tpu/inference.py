@@ -19,13 +19,44 @@ from coalign_tpu.utils import eval_utils as E
 
 
 def make_infer_fn(model, anchors, postprocess_cfg: dict):
-    """Returns a jitted (variables, batch) -> per-frame detections fn."""
+    """Returns a jitted (variables, batch) -> per-frame detections fn.
+
+    ``anchors`` is the (H, W, A, 7) anchor grid, or a DenseBevSpec for the
+    anchor-free PIXOR family (decoded via decode_dense_map).
+    """
+    from coalign_tpu.postprocess.dense_bev import (DenseBevSpec,
+                                                   decode_dense_map)
+
     score_thr = float(postprocess_cfg["target_args"]["score_threshold"])
     nms_thr = float(postprocess_cfg["nms_thresh"])
     gt_range = tuple(postprocess_cfg["gt_range"])
     dir_args = postprocess_cfg.get("dir_args", {})
     dir_offset = float(dir_args.get("dir_offset", 0.7853))
     num_bins = int(dir_args.get("num_bins", 2))
+
+    if isinstance(anchors, DenseBevSpec):
+        dense_spec = anchors
+
+        @jax.jit
+        def infer_dense(variables, batch):
+            out = model.apply(variables, batch, train=False)
+
+            def per_frame(cls_m, reg_m, tfm):
+                det = decode_dense_map(cls_m, reg_m, dense_spec,
+                                       score_threshold=score_thr,
+                                       nms_threshold=nms_thr)
+                boxes = B.project_boxes7_by_tfm(det["boxes"], tfm, "hwl")
+                corners = B.boxes_to_corners_3d(boxes, "hwl")
+                keep = det["valid"]
+                return {"corners3d": corners * keep[:, None, None],
+                        "boxes7": boxes * keep[:, None],
+                        "scores": jnp.where(keep, det["scores"], 0.0),
+                        "mask": keep}
+
+            return jax.vmap(per_frame)(out["cls_map"], out["reg_map"],
+                                       batch["transformation_matrix"])
+
+        return infer_dense
 
     anchors = jnp.asarray(anchors)
 

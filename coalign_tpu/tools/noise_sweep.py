@@ -119,7 +119,7 @@ def main(argv=None):
     from coalign_tpu.tools.run import _box_align_hook
     hook = _box_align_hook(params)
     results = noise_sweep(model, variables, make_factory(False), base,
-                          spec.anchors, postprocess_cfg(params),
+                          getattr(spec, "anchors", spec), postprocess_cfg(params),
                           levels=levels, batch_size=opt.batch_size,
                           max_frames=opt.eval_frames, batch_hook=hook)
     out = {f"{k[0]:g}_{k[1]:g}": v for k, v in results.items()}
@@ -127,7 +127,7 @@ def main(argv=None):
         # ref inference_w_noise.py:70-120 repeats the sweep with Laplace
         # noise (same sigma table, 'laplace' key in noise args)
         lap = noise_sweep(model, variables, make_factory(True), base,
-                          spec.anchors, postprocess_cfg(params),
+                          getattr(spec, "anchors", spec), postprocess_cfg(params),
                           levels=levels, batch_size=opt.batch_size,
                           max_frames=opt.eval_frames, batch_hook=hook)
         out.update({f"laplace_{k[0]:g}_{k[1]:g}": v

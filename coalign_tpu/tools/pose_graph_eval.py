@@ -120,7 +120,7 @@ def main(argv=None):
     params, base, batcher, model, spec, state = _load_model_dir(opt, hook)
     res = evaluate_pose_graph(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        batcher, base, spec.anchors, postprocess_cfg(params),
+        batcher, base, getattr(spec, "anchors", spec), postprocess_cfg(params),
         batch_size=opt.batch_size, max_frames=opt.eval_frames)
     print(json.dumps(res))
     save_yaml(res, os.path.join(opt.model_dir, "eval_pose_graph.yaml"))

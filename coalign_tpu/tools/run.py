@@ -34,8 +34,17 @@ def build_all(params: dict, train: bool = True):
     model = build_model(params["model"])
     loss_fn = build_loss(params["loss"])
     post = params["postprocess"]
-    spec = make_anchor_spec(post["anchor_args"], post["target_args"],
-                            post.get("order", "hwl"))
+    if post.get("core_method") == "BevPostprocessor":
+        # anchor-free PIXOR family: dense label maps instead of an anchor
+        # grid (ref bev_postprocessor.py)
+        from coalign_tpu.ops.bev_raster import BevSpec
+        from coalign_tpu.postprocess.dense_bev import DenseBevSpec
+        spec = DenseBevSpec(
+            bev=BevSpec.from_config(params["model"]["args"]
+                                    ["geometry_param"]))
+    else:
+        spec = make_anchor_spec(post["anchor_args"], post["target_args"],
+                                post.get("order", "hwl"))
     return base, batcher, model, loss_fn, spec
 
 
@@ -146,7 +155,7 @@ def cmd_train(opt):
     res = evaluate(model,
                    {"params": state.params,
                     "batch_stats": state.batch_stats},
-                   batcher, base, spec.anchors, postprocess_cfg(params),
+                   batcher, base, getattr(spec, "anchors", spec), postprocess_cfg(params),
                    max_frames=opt.eval_frames, fusion_method=method)
     print(json.dumps({"eval": res}))
     return state, res
@@ -265,7 +274,7 @@ def cmd_inference(opt):
         res = evaluate(model,
                        {"params": state.params,
                         "batch_stats": state.batch_stats},
-                       batcher, base, spec.anchors,
+                       batcher, base, getattr(spec, "anchors", spec),
                        postprocess_cfg(params),
                        fusion_method=opt.fusion_method,
                        max_frames=opt.eval_frames,
@@ -293,7 +302,7 @@ def cmd_export(opt):
     export_inference(model,
                      {"params": state.params,
                       "batch_stats": state.batch_stats},
-                     batch0, spec.anchors, postprocess_cfg(params), out,
+                     batch0, getattr(spec, "anchors", spec), postprocess_cfg(params), out,
                      platforms=platforms)
     print(json.dumps({"artifact": out, "platforms": list(platforms)}))
     return out
@@ -322,7 +331,7 @@ def cmd_precalc(opt):
     post = params["postprocess"]
     spec = make_anchor_spec(post["anchor_args"], post["target_args"],
                             post.get("order", "hwl"))
-    stage1 = make_stage1_fn(model, spec.anchors, postprocess_cfg(params),
+    stage1 = make_stage1_fn(model, getattr(spec, "anchors", spec), postprocess_cfg(params),
                             max_boxes=int(pc.get("max_boxes", 24)))
 
     out_dir = opt.model_dir or pc.get("output_save_path", "precalc_out")

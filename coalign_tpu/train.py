@@ -78,9 +78,19 @@ def create_train_state(model, batch, tx, rng=None):
 def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
     """Returns a jitted (state, batch) -> (state, metrics) step."""
 
+    from coalign_tpu.postprocess.dense_bev import (DenseBevSpec,
+                                                   assign_dense_targets)
+
     def step(state: TrainState, batch: dict):
-        labels = jax.vmap(partial(assign_targets, spec=anchor_spec))(
-            batch["gt_boxes"], batch["gt_mask"])
+        if isinstance(anchor_spec, DenseBevSpec):
+            # anchor-free PIXOR family: dense (H, W, 7) label maps
+            # (ref bev_postprocessor.py generate_label)
+            labels = {"label_map": jax.vmap(
+                partial(assign_dense_targets, spec=anchor_spec))(
+                batch["gt_boxes"], batch["gt_mask"])}
+        else:
+            labels = jax.vmap(partial(assign_targets, spec=anchor_spec))(
+                batch["gt_boxes"], batch["gt_mask"])
         if getattr(loss_fn, "wants_single_labels", False):
             # per-agent stage-1 / supervise_single labels (ref
             # train.py:119-121 second loss pass with suffix "_single"):

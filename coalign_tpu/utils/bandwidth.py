@@ -76,7 +76,19 @@ def frame_comm_bytes(fusion_method: str, batch: dict, model=None,
     if fusion_method in ("late", "no", "no_w_uncertainty", "single"):
         return links * max_num * 8 * 4.0
     args = getattr(model, "args", None)
-    if not isinstance(args, dict) or "lidar_range" not in args:
+    if not isinstance(args, dict):
+        return float("nan")
+    if "geometry_param" in args and "voxel_size" not in args:
+        # PIXOR family: BEV grid from geometry_param, fused at the
+        # backbone's downsampled resolution
+        g = args["geometry_param"]
+        h = int(round((g["L2"] - g["L1"]) / g["res"]))
+        w = int(round((g["W2"] - g["W1"]) / g["res"]))
+        ds = int(g.get("downsample_rate", 4))
+        c = (args.get("att", {}).get("feat_dim") or [128])
+        c = c[-1] if isinstance(c, (list, tuple)) else int(c)
+        return links * float(c * (h // ds) * (w // ds) * 4.0)
+    if "lidar_range" not in args:
         return float("nan")
     multiscale = "multiscale" in type(model).__name__.lower() or \
         "Multiscale" in type(model).__name__

@@ -106,3 +106,47 @@ def test_pixor_intermediate_forward():
     out = jit_apply(model, variables, batch, train=False)
     assert out["cls_map"].shape == (1, 16, 16, 1)
     assert np.isfinite(np.asarray(out["cls_map"])).all()
+
+
+def test_pixor_cli_train_inference_roundtrip(tmp_path):
+    """Anchor-free family through the CLI runner: build_all constructs a
+    DenseBevSpec, the train step assigns dense label maps, and evaluate
+    decodes via decode_dense_map (ref bev_postprocessor.py protocol)."""
+    import os
+
+    import yaml
+
+    from coalign_tpu.config.yaml_utils import load_yaml
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.tools.run import main as run_main
+
+    lr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=32,
+                             ground_points=64, seed=3)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+    hypes = os.path.join(os.path.dirname(__file__), "..", "coalign_tpu",
+                         "hypes_yaml", "opv2v", "pixor_intermediate.yaml")
+    base = load_yaml(hypes)
+    base["root_dir"] = root
+    base["validate_dir"] = root
+    base["train_params"].update(batch_size=2, epoches=1, max_cav=2)
+    base["noise_setting"] = {"add_noise": False}
+    base["preprocess"]["cav_lidar_range"] = lr
+    base["postprocess"]["gt_range"] = lr
+    base["model"]["args"]["geometry_param"].update(
+        L1=lr[0], L2=lr[3], W1=lr[1], W2=lr[4])
+    base["model"]["args"]["lidar_range"] = lr
+    cfg = str(tmp_path / "pixor.yaml")
+    with open(cfg, "w") as f:
+        yaml.safe_dump(base, f)
+    model_dir = str(tmp_path / "run")
+    state, res = run_main(["train", "-y", cfg, "--model_dir", model_dir,
+                           "--epochs", "1", "--eval_frames", "1"])
+    assert np.isfinite(res["ap30"])
+    res2 = run_main(["inference", "--model_dir", model_dir,
+                     "--eval_frames", "1"])
+    assert np.isfinite(res2["ap30"])
+    assert np.isfinite(res2["bandwidth_mb_per_frame"])
