@@ -132,9 +132,10 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
     corners = B.boxes_to_corners_3d(sel_boxes, "hwl")  # (P, 8, 3)
     corners = B.project_box3d(corners, transformation_matrix)
 
-    sane = (B.remove_large_pred_bbx(corners)
-            & B.remove_bbx_abnormal_z(corners)
-            & B.mask_corners_outside_range(corners, gt_range))
+    # size/z sanity filters run BEFORE NMS, the range mask AFTER it — the
+    # reference order (voxel_postprocessor.py:375-397): an out-of-range box
+    # still participates in suppression, it is only dropped from the output
+    sane = B.remove_large_pred_bbx(corners) & B.remove_bbx_abnormal_z(corners)
     sel_valid = sel_valid & sane
 
     order, keep_mask = nms_rotated(corners[:, :4, :2], sel_scores, sel_valid,
@@ -151,6 +152,10 @@ def post_process_frame(cls_preds, reg_preds, anchors, transformation_matrix,
     # the v5e worker (axon stack) — the narrow gather compiles clean
     ranked = jnp.concatenate(ranked_parts, axis=-1)[order[:max_keep]]
     keep = keep_mask[:max_keep]
+    # post-NMS range mask, strict all-8-corners-in-xyz convention
+    # (ref voxel_postprocessor.py:393 mask_boxes_outside_range_numpy)
+    keep = keep & B.mask_corners_all_inside_range(
+        ranked[:, :24].reshape(-1, 8, 3), gt_range)
     out = {
         "corners3d": ranked[:, :24].reshape(-1, 8, 3) * keep[:, None, None],
         "boxes7": ranked[:, 24:31] * keep[:, None],

@@ -120,22 +120,46 @@ def mask_corners_outside_range(corners, limit_range):
     return jnp.any(inside, axis=-1)
 
 
-def remove_large_pred_bbx(corners3d, max_l=6.0, max_w=6.0, min_h=0.1, max_h=4.0):
-    """Sanity mask against degenerate decoded boxes (ref box_utils.py:561).
+def mask_corners_all_inside_range(corners, limit_range, min_num_corners=8):
+    """(N, 8, 3) corners -> bool (N,): at least ``min_num_corners`` corners
+    inside the full xyz [x1,y1,z1,x2,y2,z2] box.
+
+    Exact counterpart of ref box_utils.py:384 mask_boxes_outside_range_numpy
+    (default min_num_corners=8, all three dims checked) — the convention the
+    reference applies to BOTH final predictions (voxel_postprocessor.py:393,
+    AFTER NMS) and fused gt boxes (base_postprocessor.py:101).
+    """
+    corners = jnp.asarray(corners)
+    lo = jnp.asarray(limit_range[0:3], corners.dtype)
+    hi = jnp.asarray(limit_range[3:6], corners.dtype)
+    inside = jnp.all((corners >= lo) & (corners <= hi), axis=-1)  # (N, 8)
+    return jnp.sum(inside, axis=-1) >= min_num_corners
+
+
+def remove_large_pred_bbx(corners3d, max_extent=6.0):
+    """Sanity mask against degenerate decoded boxes (ref box_utils.py:840).
+
+    Bit-exact reference semantics: the AXIS-ALIGNED extents of the projected
+    corners must satisfy x_len <= 6 and y_len <= 6. (The reference also
+    computes "z_len" from corner column 1 — i.e. y again, box_utils.py:862 —
+    and ands the raw float in, so the effective third condition is
+    y_len != 0; replicated here for parity.)
 
     corners3d: (N, 8, 3) -> bool (N,).
     """
     corners3d = jnp.asarray(corners3d)
-    edge_l = jnp.linalg.norm(corners3d[..., 0, :2] - corners3d[..., 3, :2], axis=-1)
-    edge_w = jnp.linalg.norm(corners3d[..., 0, :2] - corners3d[..., 1, :2], axis=-1)
-    edge_h = jnp.abs(corners3d[..., 4, 2] - corners3d[..., 0, 2])
-    return (edge_l < max_l) & (edge_w < max_w) & (edge_h > min_h) & (edge_h < max_h)
+    x_len = (jnp.max(corners3d[..., 0], axis=-1)
+             - jnp.min(corners3d[..., 0], axis=-1))
+    y_len = (jnp.max(corners3d[..., 1], axis=-1)
+             - jnp.min(corners3d[..., 1], axis=-1))
+    return (x_len <= max_extent) & (y_len <= max_extent) & (y_len != 0.0)
 
 
 def remove_bbx_abnormal_z(corners3d, min_z=-3.0, max_z=1.0):
-    """Mask boxes whose mean z is outside [min_z, max_z] (ref box_utils.py:589)."""
-    mean_z = jnp.mean(jnp.asarray(corners3d)[..., 2], axis=-1)
-    return (mean_z >= min_z) & (mean_z <= max_z)
+    """Mask boxes with ALL corner z inside [min_z, max_z] (ref
+    box_utils.py:872: bbx_z_min >= -3 and bbx_z_max <= 1)."""
+    z = jnp.asarray(corners3d)[..., 2]
+    return (jnp.min(z, axis=-1) >= min_z) & (jnp.max(z, axis=-1) <= max_z)
 
 
 def mask_points_by_range(points, limit_range):

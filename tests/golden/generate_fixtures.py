@@ -40,10 +40,75 @@ TINY_ARGS = {
 }
 
 
+def _poly_signed_area(p):
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _convex_clip(subject, clip):
+    """Sutherland–Hodgman: clip CCW convex ``subject`` by CCW convex
+    ``clip``; returns the (convex) intersection vertex list."""
+    out = [tuple(v) for v in subject]
+    n = len(clip)
+    for i in range(n):
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        inp, out = out, []
+        if not inp:
+            break
+        for j in range(len(inp)):
+            px, py = inp[j]
+            qx, qy = inp[(j + 1) % len(inp)]
+            # side of the directed clip edge a->b (>=0 == inside for CCW)
+            ps = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            qs = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+            if ps >= 0:
+                out.append((px, py))
+            if (ps > 0) != (qs > 0) and ps != qs:
+                t = ps / (ps - qs)
+                out.append((px + t * (qx - px), py + t * (qy - py)))
+    return out
+
+
+class _ShimPolygon:
+    """Exact convex-polygon stand-in for shapely.geometry.Polygon.
+
+    The reference only ever calls Polygon(4 box corners) and reads
+    .area / .intersection(b).area / .union(b).area (common_utils.py:196-236,
+    box_utils.py:693-738). Rotated-box corners are convex, and the
+    intersection of convex polygons is convex, so Sutherland–Hodgman
+    clipping + the shoelace formula reproduce shapely (GEOS) to float64
+    rounding (~1e-12) — shapely itself is not installed in this image.
+    """
+
+    def __init__(self, pts):
+        p = np.asarray([(float(x), float(y)) for x, y in pts], np.float64)
+        if _poly_signed_area(p) < 0:
+            p = p[::-1]
+        self._p = p
+
+    @property
+    def area(self):
+        return abs(_poly_signed_area(self._p))
+
+    def _inter_area(self, other):
+        clipped = _convex_clip(self._p, other._p)
+        if len(clipped) < 3:
+            return 0.0
+        return abs(_poly_signed_area(np.asarray(clipped)))
+
+    def intersection(self, other):
+        return types.SimpleNamespace(area=self._inter_area(other))
+
+    def union(self, other):
+        return types.SimpleNamespace(
+            area=self.area + other.area - self._inter_area(other))
+
+
 def _stub_reference_deps():
     for name, attrs in [
         ("icecream", {"ic": lambda *a, **k: None}),
-        ("shapely", {}), ("shapely.geometry", {"Polygon": object}),
+        ("shapely", {}), ("shapely.geometry", {"Polygon": _ShimPolygon}),
         ("pyquaternion", {"Quaternion": object}),
         ("cv2", {}), ("open3d", {}),
         # the compiled Cython IoU ext — unused by the fixtures we trace
@@ -704,7 +769,153 @@ def gen_anchors_decode():
     print("anchors:", np.asarray(anchors).shape, "boxes:", boxes.shape)
 
 
+E2E_SCORE_THR = 0.9
+E2E_NMS_THR = 0.15
+E2E_FRAMES = 10
+
+
+def _e2e_post_params():
+    return {
+        "anchor_args": {"W": 64, "H": 64, "l": 3.9, "w": 1.6, "h": 1.56,
+                        "r": [0, 90], "num": 2, "feature_stride": 2,
+                        "vw": 0.4, "vh": 0.4, "vd": 4.0,
+                        "cav_lidar_range": TINY_ARGS["lidar_range"]},
+        "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                        "score_threshold": E2E_SCORE_THR},
+        "order": "hwl", "max_num": 100, "nms_thresh": E2E_NMS_THR,
+        "dir_args": TINY_ARGS["dir_args"],
+        "gt_range": TINY_ARGS["lidar_range"],
+    }
+
+
+def _frame_is_margin_robust(scores, cand_corners, cand_scores):
+    """Reject frames where a pipeline-rounding-level perturbation could
+    flip a decision: a score within 3e-4 of the score threshold (activation
+    parity is ~2e-4 on logits), or an NMS comparison whose IoU lands within
+    5e-3 of the NMS threshold (corner drift ~1e-4 moves IoU ~1e-3)."""
+    if np.min(np.abs(scores - E2E_SCORE_THR)) < 3e-4:
+        return False
+    # replay the greedy NMS (box_utils.nms_rotated semantics) and check
+    # every picked-vs-rest IoU clears the threshold by a margin
+    polys = [_ShimPolygon(c[:4, :2]) for c in cand_corners]
+    ixs = np.argsort(cand_scores)[::-1][:1000]
+    while len(ixs) > 0:
+        i = ixs[0]
+        ious = np.array([polys[i].intersection(polys[j]).area
+                         / max(polys[i].union(polys[j]).area, 1e-12)
+                         for j in ixs[1:]])
+        if ious.size and np.min(np.abs(ious - E2E_NMS_THR)) < 5e-3:
+            return False
+        ixs = np.delete(ixs, np.where(ious > E2E_NMS_THR)[0] + 1)
+        ixs = np.delete(ixs, 0)
+    return True
+
+
+def gen_e2e_ap():
+    """END-TO-END AP parity fixture: replay the reference's COMPLETE
+    inference chain — voxelize -> flagship CoAlign forward (the recorded
+    coalign_multiscale.pth weights) -> voxel_postprocessor.post_process
+    (sigmoid, threshold, delta decode, dir fix, project, sanity filters,
+    rotated NMS, range mask; ref voxel_postprocessor.py:243-402) ->
+    eval_utils.caluclate_tp_fp / calculate_ap (ref eval_utils.py:45-145) —
+    on synthetic two-agent frames, recording the raw input points, the
+    final box set + scores, crafted gt boxes, and the reference AP at IoU
+    0.3/0.5/0.7. tests/test_golden_e2e.py feeds the SAME points through
+    our jitted pipeline and gates box-set identity + |dAP| <= 0.5 pt.
+
+    gt boxes are perturbed copies of reference detections (plus far-away
+    misses): the fixture pins PIPELINE parity, not model quality, and
+    graded perturbations make TP/FP flip across the three IoU gates so the
+    AP comparison is nontrivial at every threshold.
+    """
+    import torch
+
+    from opencood.data_utils.post_processor.voxel_postprocessor import \
+        VoxelPostprocessor
+    from opencood.models.point_pillar_baseline_multiscale import \
+        PointPillarBaselineMultiscale
+    from opencood.utils import eval_utils
+
+    args = {**TINY_ARGS, "fusion_method": "att", "att": {"feat_dim": [32, 64]},
+            "base_bev_backbone": {**TINY_ARGS["base_bev_backbone"],
+                                  "resnet": True}}
+    model = PointPillarBaselineMultiscale(args)
+    model.load_state_dict(torch.load(
+        os.path.join(HERE, "coalign_multiscale.pth"), map_location="cpu"))
+    model.eval()
+
+    post = VoxelPostprocessor(_e2e_post_params(), train=False)
+    anchors = torch.from_numpy(np.asarray(post.generate_anchor_box()))
+
+    result_stat = {t: {"tp": [], "fp": [], "gt": 0, "score": []}
+                   for t in (0.3, 0.5, 0.7)}
+    arrays = {}
+    n_frames, seed = 0, 100
+    rng = np.random.default_rng(777)
+    while n_frames < E2E_FRAMES:
+        ego_pts, cav_pts, pairwise, torch_in = _two_agent_lidar(seed=seed)
+        seed += 3
+        with torch.no_grad():
+            out = model(torch_in)
+        scores_all = torch.sigmoid(
+            out["cls_preds"].permute(0, 2, 3, 1)).reshape(-1).numpy()
+        # pre-check margins on the candidate set post_process will see
+        # (threshold pass + decode + dir fix + project); rebuild it the
+        # same way post_process does, then reject knife-edge frames
+        data_dict = {"ego": {"transformation_matrix": torch.eye(4),
+                             "anchor_box": anchors}}
+        boxes, scores = post.post_process(data_dict, {"ego": out})
+        boxes = boxes.numpy()
+        scores = scores.numpy()
+        # margin check runs on the final candidates (sanity filters are
+        # monotone in box size; NMS is where knife edges live)
+        if not _frame_is_margin_robust(scores_all, boxes, scores):
+            print(f"e2e: frame seed {seed - 3} near a decision boundary, "
+                  "skipping")
+            continue
+
+        # craft gt: perturbed detections (graded offsets straddle the IoU
+        # gates) + one far-away always-missed box
+        offsets = [0.0, 0.3, 0.8, 1.5, 2.5, 0.15]
+        gt_list = []
+        for i in range(min(6, len(boxes))):
+            ang = rng.uniform(0, 2 * np.pi)
+            d = offsets[i % len(offsets)]
+            shift = np.array([d * np.cos(ang), d * np.sin(ang), 0.0],
+                             np.float32)
+            gt_list.append(boxes[i] + shift)
+        far = boxes[0] + np.array([9.0, 7.0, 0.0], np.float32)
+        gt_list.append(far)
+        gt = np.stack(gt_list)
+
+        for t in (0.3, 0.5, 0.7):
+            eval_utils.caluclate_tp_fp(
+                torch.from_numpy(boxes), torch.from_numpy(scores),
+                torch.from_numpy(gt), result_stat, t)
+
+        i = n_frames
+        arrays[f"ego_points_{i}"] = ego_pts
+        arrays[f"cav_points_{i}"] = cav_pts
+        arrays[f"pairwise_{i}"] = pairwise
+        arrays[f"pred_corners_{i}"] = boxes
+        arrays[f"pred_scores_{i}"] = scores
+        arrays[f"gt_corners_{i}"] = gt
+        n_frames += 1
+
+    aps = {f"ap{int(t * 100)}": eval_utils.calculate_ap(result_stat, t)[0]
+           for t in (0.3, 0.5, 0.7)}
+    arrays.update(num_frames=np.int64(E2E_FRAMES),
+                  score_threshold=np.float64(E2E_SCORE_THR),
+                  nms_thresh=np.float64(E2E_NMS_THR),
+                  **{k: np.float64(v) for k, v in aps.items()})
+    np.savez(os.path.join(HERE, "e2e_ap_io.npz"), **arrays)
+    print("e2e_ap:", {k: round(float(v), 4) for k, v in aps.items()},
+          "boxes/frame:",
+          [len(arrays[f"pred_scores_{i}"]) for i in range(E2E_FRAMES)])
+
+
 GENERATORS = {
+    "e2e_ap": gen_e2e_ap,
     "point_pillar_resnet": lambda: gen_point_pillar(resnet=True),
     "point_pillar_base": lambda: gen_point_pillar(resnet=False),
     "compressor": gen_compressor,

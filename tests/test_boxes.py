@@ -65,10 +65,25 @@ def test_range_masks():
 
 
 def test_sanity_masks(rng):
+    # keep all corners strictly inside z in [-3, 1]: the filters follow the
+    # reference's STRICT conventions (ref box_utils.py:840/:872 — axis-
+    # aligned xy extents <= 6, min/max corner z in range, not mean z)
     boxes = _rand_boxes(rng, 10)
+    boxes[:, 2] = rng.uniform(-1.5, -0.3, len(boxes))
     corners = B.boxes_to_corners_3d(boxes, "hwl")
     assert np.asarray(B.remove_large_pred_bbx(corners)).all()
     assert np.asarray(B.remove_bbx_abnormal_z(corners)).all()
     huge = np.array([[0, 0, 0, 1.5, 8.0, 9.0, 0.0]])
     c = B.boxes_to_corners_3d(huge, "hwl")
     assert not np.asarray(B.remove_large_pred_bbx(c)).any()
+    # a large box rotated 45 deg: every edge < 6 but the axis-aligned
+    # x-extent is (5.9 + 2.7) / sqrt(2) = 6.08 > 6 -> rejected (reference
+    # measures the corners' axis-aligned bounding box, not the edges)
+    rot45 = np.array([[0, 0, 0, 1.5, 2.7, 5.9, np.pi / 4]])
+    c45 = B.boxes_to_corners_3d(rot45, "hwl")
+    assert not np.asarray(B.remove_large_pred_bbx(c45)).any()
+    # mean z in range but one corner face above z=1 -> rejected under the
+    # strict min/max convention (old mean-z semantics would keep it)
+    tall = np.array([[0, 0, 0.5, 2.2, 1.6, 3.9, 0.0]])
+    ct = B.boxes_to_corners_3d(tall, "hwl")
+    assert not np.asarray(B.remove_bbx_abnormal_z(ct)).any()
