@@ -2,13 +2,14 @@
 
 TPU-first rework of ref opencood/models/lift_splat_shoot.py:16 /
 lift_splat_shoot_intermediate.py:18 and opencood/models/sub_modules/
-lss_submodule.py: the camera encoder is a from-scratch ResNet trunk (the
-reference's pretrained EfficientNet-b0 / ResNet-101 weights are torch hub
-artifacts; encoder choice is a config knob, capacity-matched) producing a
-per-pixel depth distribution x context features; lift/splat run through
-ops/lss.py; the BEV encoder mirrors BevEncode with single-scale (SS) or
-multi-scale (MS) warp+fusion variants returning (x_single, x_fuse)
-(ref lss_submodule.py:286/:357-418).
+lss_submodule.py. The camera encoders are ARCHITECTURE-EXACT counterparts
+of the reference's trunks (EfficientNet-b0 / ResNet-101 slice — see
+models/camera_trunks.py), so trained reference checkpoints import through
+utils/ckpt_import.py like the lidar families; lift/splat run through
+ops/lss.py (one einsum chain + segment_sum splat instead of the CUDA
+QuickCumsum); the BEV encoders mirror BevEncode / BevEncodeSSFusion /
+BevEncodeMSFusion (ref lss_submodule.py:247/:287/:360) with the fusion
+step dispatched through the shared fusion registry.
 
 Camera batch contract (``image_inputs`` subtree, Appendix A of SURVEY.md):
   imgs       (B, L, N, H, W, 3)  normalized images
@@ -29,114 +30,128 @@ import jax.numpy as jnp
 import numpy as np
 
 from coalign_tpu.models import register_model
+from coalign_tpu.models.camera_trunks import (EfficientNetB0,
+                                              ResNet18Layers,
+                                              ResNet101Trunk, TorchUp,
+                                              upsample_align_corners)
 from coalign_tpu.models.fuse.fusion import build_fusion
 from coalign_tpu.models.heads import DetectionHeads
-from coalign_tpu.models.layers import BasicBlock, ConvBNReLU
+from coalign_tpu.models.layers import DownsampleConv, MaskedBatchNorm
 from coalign_tpu.ops.lss import LSSSpec, get_geometry, voxel_pool
 from coalign_tpu.utils.transforms import normalize_pairwise_tfm
 
 
-class CamEncoder(nn.Module):
-    """Image -> (depth distribution, context) at 1/8 resolution
-    (ref lss_submodule.py:41 CamEncode / :142 CamEncode_Resnet101).
-
-    ``variant`` follows the yaml ``camera_encoder`` knob: 'EfficientNet'
-    (default) is the light trunk matching the reference's EfficientNet-b0
-    capacity class; 'Resnet101' widens/deepens each stage, matching the
-    heavier ResNet-101 option. Both are from-scratch trunks — the
-    reference's torch-hub pretrained weights are not portable."""
+class CamEncode(nn.Module):
+    """EfficientNet-b0 image encoder -> (context C, depth logits D) at
+    /8 (ref lss_submodule.py:41 CamEncode): trunk endpoints, up1 fuses
+    reduction_5+4 to /16, up2 fuses with reduction_3 to /8 (downsample=8),
+    then 1x1 depth/image heads on the shared 512-ch feature."""
 
     depth_bins: int
     cam_channels: int
-    variant: str = "EfficientNet"
+    downsample: int = 8
+    use_gt_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        heavy = "resnet" in self.variant.lower()
-        widths = (64, 96, 192, 256) if heavy else (32, 48, 96, 128)
-        reps = 2 if heavy else 1
-        # stem /2
-        x = ConvBNReLU(widths[0], 3, 2, 1)(x, train=train)
-        x = ConvBNReLU(widths[0], 3, 1, 1)(x, train=train)
-        # stage /4
-        x = BasicBlock(widths[1], 2)(x, train=train)
-        for _ in range(reps):
-            x = BasicBlock(widths[1], 1)(x, train=train)
-        # stage /8
-        x = BasicBlock(widths[2], 2)(x, train=train)
-        for _ in range(reps):
-            x = BasicBlock(widths[2], 1)(x, train=train)
-        x = BasicBlock(widths[3], 1)(x, train=train)
-        head = nn.Conv(self.depth_bins + self.cam_channels, (1, 1))(x)
-        depth_logits = head[..., :self.depth_bins]
-        context = head[..., self.depth_bins:]
+        r3, r4, r5 = EfficientNetB0(name="trunk")(x, train=train)
+        f = TorchUp(512, 2, name="up1")(r5, r4, train=train)
+        if self.downsample == 8:
+            f = TorchUp(512, 2, name="up2")(f, r3, train=train)
+        context = nn.Conv(self.cam_channels, (1, 1), name="image_head")(f)
+        if self.use_gt_depth:
+            return context, None
+        depth_logits = nn.Conv(self.depth_bins, (1, 1),
+                               name="depth_head")(f)
+        return context, depth_logits
+
+
+class CamEncodeResnet101(nn.Module):
+    """ResNet-101-through-layer2 image encoder (ref lss_submodule.py:142
+    CamEncode_Resnet101): 512 ch at /8, then 1x1 depth/image heads.
+    (The reference also CONSTRUCTS up1/up2 blocks it never calls in the
+    downsample=8 path — those dead keys are dropped on import.)"""
+
+    depth_bins: int
+    cam_channels: int
+    downsample: int = 8
+    use_gt_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = ResNet101Trunk(name="trunk")(x, train=train)
+        context = nn.Conv(self.cam_channels, (1, 1), name="image_head")(f)
+        if self.use_gt_depth:
+            return context, None
+        depth_logits = nn.Conv(self.depth_bins, (1, 1),
+                               name="depth_head")(f)
         return context, depth_logits
 
 
 class BevEncode(nn.Module):
-    """BEV feature encoder with optional per-scale fusion
-    (ref lss_submodule.py BevEncode:247 / BevEncodeMSFusion:357).
+    """Single-agent BEV encoder (ref lss_submodule.py:247): resnet18
+    layers 1-3, Up(64+256 -> 256, x4), then upsample-conv-BN-ReLU-1x1 back
+    to full BEV resolution with ``out_ch`` channels."""
 
-    fuse_mode: None (single agent) | 'ss' (fuse the decoded map once) |
-    'ms' (fuse each encoder scale, decode fused; the single path reuses the
-    SAME decode weights, like the reference's shared up-blocks)."""
-
-    args: Dict[str, Any]
-    fuse_mode: str | None = None
+    out_ch: int
 
     @nn.compact
-    def __call__(self, x, affine=None, agent_mask=None,
-                 train: bool = False):
-        out_ch = self.args.get("bev_out_channels", 128)
-        fusion_args = self.args.get("fusion_args", {})
-        # core_method is e.g. "att_ms" / "max_ss" / "v2vnet" / "v2xvit"
-        # (ref lss_coalign_fusion.yaml / lss_v2vnet_fusion.yaml): strip the
-        # scale suffix and dispatch through the shared fusion registry so
-        # the camera branch supports the same fusion zoo as lidar
-        # (ref lss_submodule.py:286/:357 only hardcodes max/att; the v2vnet/
-        # v2xvit camera configs route through the same BevEncode*Fusion).
-        method = fusion_args.get("core_method", "att")
+    def __call__(self, x, train: bool = False):
+        x1, _, x3 = ResNet18Layers(name="trunk")(x, train=train)
+        y = TorchUp(256, 4, name="up1")(x3, x1, train=train)
+        y = upsample_align_corners(y, 2)
+        y = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    name="up2_conv")(y)
+        y = MaskedBatchNorm(epsilon=1e-5, name="up2_bn")(y, train=train)
+        y = nn.relu(y)
+        return nn.Conv(self.out_ch, (1, 1), name="up2_out")(y)
+
+
+class BevEncodeFusion(nn.Module):
+    """Collaborative BEV encoder (ref lss_submodule.py:287
+    BevEncodeSSFusion / :360 BevEncodeMSFusion): resnet18 trunk, U-Net
+    decode via up_layer2/up_layer1, 128-ch down_layer head. ``ms`` fuses
+    each encoder scale (parameterless max/att, matching the reference's
+    plain-list fuse modules); SS fuses the decoded 256-ch map once with a
+    possibly parameterized fusion (att/max/disconet/v2vnet/v2xvit/
+    when2comm). Returns (x_single, x_fuse), both 128 ch at BEV/2."""
+
+    fusion_args: Dict[str, Any]
+    ms: bool
+
+    @nn.compact
+    def __call__(self, x, affine, agent_mask, train: bool = False):
+        b, l = agent_mask.shape
+        method = self.fusion_args.get("core_method", "att")
         for suf in ("_ms", "_ss"):
             method = method.removesuffix(suf)
-        sub_args = fusion_args.get("args", fusion_args)
+        sub_args = self.fusion_args.get("args", self.fusion_args)
 
-        def fuse(feat):
-            b, l = agent_mask.shape
+        x1, x2, x3 = ResNet18Layers(name="trunk")(x, train=train)
+        up2 = TorchUp(256, 2, name="up_layer2")
+        up1 = TorchUp(256, 2, name="up_layer1")
+        down1 = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, name="down1")
+        down2 = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, name="down2")
+
+        def down(y):
+            return nn.relu(down2(nn.relu(down1(y))))
+
+        def fuse(feat, name):
             h, w, c = feat.shape[1:]
-            net = build_fusion(method, sub_args, c)
+            net = build_fusion(method, sub_args, c).clone(name=name,
+                                                          parent=self)
             return net(feat.reshape(b, l, h, w, c), affine, agent_mask,
                        train=train)
 
-        stem = ConvBNReLU(64, 7, 2, 3)
-        blk1a, blk1b = BasicBlock(64, 1), BasicBlock(64, 1)
-        blk2a, blk2b = BasicBlock(128, 2), BasicBlock(128, 1)
-        dec1 = ConvBNReLU(out_ch, 3, 1, 1)
-        dec2 = ConvBNReLU(out_ch, 3, 1, 1)
-        proj = nn.Conv(out_ch, (1, 1))
-
-        def encode(y):
-            y = stem(y, train=train)                    # /2
-            y1 = blk1b(blk1a(y, train=train), train=train)
-            y2 = blk2b(blk2a(y1, train=train), train=train)  # /4
-            return y1, y2
-
-        def decode(a, b_):
-            up = jax.image.resize(b_, (b_.shape[0],) + a.shape[1:3]
-                                  + (b_.shape[-1],), "bilinear")
-            y = dec1(jnp.concatenate([up, a], axis=-1), train=train)
-            y = jax.image.resize(y, (y.shape[0], y.shape[1] * 2,
-                                     y.shape[2] * 2, y.shape[3]), "bilinear")
-            return proj(dec2(y, train=train))
-
-        x1, x2 = encode(x)
-        if self.fuse_mode == "ms":
-            fused_out = decode(fuse(x1), fuse(x2))
-            single_out = decode(x1, x2)
-            return single_out, fused_out
-        out = decode(x1, x2)
-        if self.fuse_mode == "ss":
-            return out, fuse(out)
-        return out
+        x_single = down(up1(up2(x3, x2, train=train), x1, train=train))
+        if self.ms:
+            f1, f2, f3 = (fuse(x1, "fuse_0"), fuse(x2, "fuse_1"),
+                          fuse(x3, "fuse_2"))
+            x_fuse = down(up1(up2(f3, f2, train=train), f1, train=train))
+        else:
+            y = up1(up2(x3, x2, train=train), x1, train=train)
+            x_fuse = down(fuse(y, "fuse"))
+        return x_single, x_fuse
 
 
 class _LSSBase(nn.Module):
@@ -152,19 +167,40 @@ class _LSSBase(nn.Module):
                                    self.args["data_aug_conf"],
                                    self.args.get("img_downsample", 8))
 
-    def _make_heads(self):
+    @property
+    def bev_out(self) -> int:
+        # reference knob is ``bevout_feature`` (lift_splat_shoot.py:21);
+        # ``bev_out_channels`` kept as an accepted alias
+        return int(self.args.get("bevout_feature",
+                                 self.args.get("bev_out_channels", 128)))
+
+    def _make_heads(self, name: str = "heads"):
         return DetectionHeads(
             anchor_number=self.args["anchor_number"],
             use_dir="dir_args" in self.args,
             num_bins=self.args.get("dir_args", {}).get("num_bins", 2),
+            name=name,
         )
 
-    def _lift_splat(self, image_inputs, train):
+    def _shrink(self, x, train):
+        if "shrink_header" in self.args:
+            cfg = self.args["shrink_header"]
+            x = DownsampleConv(dims=tuple(cfg["dim"]),
+                               kernel_sizes=tuple(cfg["kernal_size"]),
+                               strides=tuple(cfg["stride"]),
+                               paddings=tuple(cfg["padding"]),
+                               name="shrink")(x, train=train)
+        return x
+
+    def _lift_splat(self, image_inputs, train, freeze=False):
         """(F=B*L agent frames) x N cams -> (F, ny, nx, nz*C) BEV.
 
         With ``use_gt_depth`` and a ``depth_map`` input, the learned depth
         distribution is replaced by the one-hot of the binned gt depth
-        (ref lss_submodule.py:51-69 use_gt_depth / get_gt_depth_dist)."""
+        (ref lss_submodule.py:51-69 use_gt_depth / get_gt_depth_dist).
+        ``freeze`` stop-gradients the camera encoder, mirroring the
+        reference's requires_grad=False on camencode in the intermediate
+        model (lift_splat_shoot_intermediate.py:30)."""
         spec = self.spec
         imgs = image_inputs["imgs"]
         lead = imgs.shape[:-3]  # (B, L, N) or (F, N)
@@ -172,18 +208,30 @@ class _LSSBase(nn.Module):
         n = lead[-1]
         imgs = imgs.reshape((f * n,) + imgs.shape[-3:])
         cam_c = self.args.get("img_features", 64)
-        context, depth_logits = CamEncoder(
+        enc_cls = (CamEncodeResnet101
+                   if "resnet" in self.args.get(
+                       "camera_encoder", "EfficientNet").lower()
+                   else CamEncode)
+        context, depth_logits = enc_cls(
             depth_bins=spec.depth_bins, cam_channels=cam_c,
-            variant=self.args.get("camera_encoder", "EfficientNet"))(
-            imgs, train=train)
-        if self.args.get("use_gt_depth") and "depth_map" in image_inputs:
+            downsample=spec.downsample,
+            use_gt_depth=bool(self.args.get("use_depth_gt",
+                                            self.args.get("use_gt_depth"))),
+            name="camencode")(imgs, train=train)
+        if freeze:
+            context = jax.lax.stop_gradient(context)
+            if depth_logits is not None:
+                depth_logits = jax.lax.stop_gradient(depth_logits)
+        fh, fw = spec.feat_hw
+        if depth_logits is None or (
+                self.args.get("use_depth_gt", self.args.get("use_gt_depth"))
+                and "depth_map" in image_inputs):
             from coalign_tpu.ops.lss import bin_depths
 
             dm = image_inputs["depth_map"].reshape(
                 (f * n,) + image_inputs["depth_map"].shape[-2:])
-            fh_, fw_ = spec.feat_hw
             ds_ = spec.downsample
-            dm = dm[:, ::ds_, ::ds_][:, :fh_, :fw_]
+            dm = dm[:, ::ds_, ::ds_][:, :fh, :fw]
             idx = bin_depths(dm, spec.mode, spec.ddiscr[0],
                              spec.ddiscr[1], spec.depth_bins)
             depth = jax.nn.one_hot(idx, spec.depth_bins, axis=-1)
@@ -203,6 +251,8 @@ class _LSSBase(nn.Module):
             r(image_inputs["intrins"]), r(image_inputs["post_rots"]),
             r(image_inputs["post_trans"]))
         bev = jax.vmap(lambda g, x: voxel_pool(g, x, spec))(geom, feats)
+        if depth_logits is None:
+            return bev, None
         return bev, depth_logits.reshape(f, n, fh, fw, -1)
 
 
@@ -213,35 +263,42 @@ class LiftSplatShoot(_LSSBase):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         bev, depth_logits = self._lift_splat(batch["image_inputs"], train)
-        x = BevEncode(args=self.args)(bev, train=train)
+        x = BevEncode(out_ch=self.bev_out, name="bevencode")(
+            bev, train=train)
+        x = self._shrink(x, train)
         out = self._make_heads()(x)
-        out["depth_logits"] = depth_logits
+        if depth_logits is not None:
+            out["depth_logits"] = depth_logits
         return out
 
 
 @register_model("lift_splat_shoot_intermediate")
 class LiftSplatShootIntermediate(_LSSBase):
     """Collaborative camera detector with SS/MS BEV fusion
-    (ref lift_splat_shoot_intermediate.py:18-68)."""
+    (ref lift_splat_shoot_intermediate.py:18-68). The camera encoder is
+    frozen during training exactly like the reference (:30-31) unless
+    ``freeze_camencode: false``."""
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
-        b, l = batch["agent_mask"].shape
         spec = self.spec
-        bev, depth_logits = self._lift_splat(batch["image_inputs"], train)
+        freeze = train and self.args.get("freeze_camencode", True)
+        bev, depth_logits = self._lift_splat(batch["image_inputs"], train,
+                                             freeze=freeze)
 
-        ms = "ms" in self.args.get("fusion_args", {}).get(
-            "core_method", "att_ms")
-        # fused maps are at 1/2 the BEV grid res inside BevEncode
+        fusion_args = self.args.get("fusion_args", {})
+        ms = fusion_args.get("core_method", "att_ms").endswith("ms")
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], spec.ny, spec.nx, spec.xbound[2])
-        single_out, fused = BevEncode(
-            args=self.args, fuse_mode="ms" if ms else "ss")(
+        single_out, fused = BevEncodeFusion(
+            fusion_args=fusion_args, ms=ms, name="bevencode")(
             bev, affine=affine, agent_mask=batch["agent_mask"], train=train)
 
         out = self._make_heads()(fused)
-        out["depth_logits"] = depth_logits
+        if depth_logits is not None:
+            out["depth_logits"] = depth_logits
         if self.args.get("supervise_single", False):
-            for k, v in self._make_heads()(single_out).items():
+            for k, v in self._make_heads(name="heads_single")(
+                    single_out).items():
                 out[k + "_single"] = v
         return out

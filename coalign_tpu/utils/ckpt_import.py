@@ -462,6 +462,193 @@ def _map_fusion(sub: dict, out: _Tree):
         _map_one_fusion(sub, out, "fusion")
 
 
+def _map_torch_up(sub: dict, out: _Tree, prefix: str):
+    """ref lss_submodule.py:19 Up: ``conv`` Sequential [Conv, BN, ReLU,
+    Conv, BN, ReLU] -> models/camera_trunks.py TorchUp {conv1, bn1,
+    conv2, bn2}."""
+    slots = {"0": ("conv1", "conv"), "1": ("bn1", "bn"),
+             "3": ("conv2", "conv"), "4": ("bn2", "bn")}
+    for k, v in sub.items():
+        m = re.match(r"conv\.([0134])\.(\w+)$", k)
+        if not m:
+            raise KeyError(f"unrecognized Up key {k}")
+        name, kind = slots[m.group(1)]
+        if kind == "conv":
+            out.params[f"{prefix}/{name}/kernel"] = _conv(v)
+        else:
+            out.bn(f"{prefix}/{name}", m.group(2), v)
+
+
+_TV_BASIC_PARTS = {"conv1": "Conv_0", "bn1": "MaskedBatchNorm_0",
+                   "conv2": "Conv_1", "bn2": "MaskedBatchNorm_1",
+                   "downsample.0": "Conv_2",
+                   "downsample.1": "MaskedBatchNorm_2"}
+_TV_BOTTLENECK_PARTS = {"conv1": "conv1", "bn1": "bn1", "conv2": "conv2",
+                        "bn2": "bn2", "conv3": "conv3", "bn3": "bn3",
+                        "downsample.0": "down_conv",
+                        "downsample.1": "down_bn"}
+
+
+def _map_tv_layer_key(key, value, out: _Tree, prefix: str,
+                      bottleneck: bool):
+    """One torchvision ``layer{S}.{B}.<part>.<field>`` entry -> our
+    per-block named modules ``layer{S}_{B}`` (camera_trunks.py
+    ResNet18Layers / ResNet101Trunk / Bottleneck / layers.BasicBlock)."""
+    m = re.match(r"layer(\d+)\.(\d+)\.(conv\d|bn\d|downsample\.[01])"
+                 r"\.(\w+)$", key)
+    if not m:
+        raise KeyError(f"unrecognized torchvision layer key {key}")
+    parts = _TV_BOTTLENECK_PARTS if bottleneck else _TV_BASIC_PARTS
+    path = (f"{prefix}/layer{m.group(1)}_{m.group(2)}"
+            f"/{parts[m.group(3)]}")
+    if m.group(3).startswith(("conv", "downsample.0")):
+        out.params[f"{path}/kernel"] = _conv(value)
+    else:
+        out.bn(path, m.group(4), value)
+
+
+_EFF_BLOCK_PARTS = {"_expand_conv": ("expand_conv", "conv"),
+                    "_depthwise_conv": ("depthwise_conv", "conv"),
+                    "_project_conv": ("project_conv", "conv"),
+                    "_se_reduce": ("se_reduce", "biased_conv"),
+                    "_se_expand": ("se_expand", "biased_conv"),
+                    "_bn0": ("bn0", "bn"), "_bn1": ("bn1", "bn"),
+                    "_bn2": ("bn2", "bn")}
+
+
+def _map_effnet_trunk_key(key, value, out: _Tree, prefix: str):
+    """efficientnet_pytorch EfficientNet state-dict entry -> our
+    camera_trunks.EfficientNetB0. The classification head (_conv_head /
+    top-level _bn1 / _fc) never runs in the reference's get_eff_features
+    walk (ref lss_submodule.py:91-115) and has no counterpart — dropped."""
+    if key.startswith(("_conv_head.", "_bn1.", "_fc.")):
+        return
+    if key == "_conv_stem.weight":
+        out.params[f"{prefix}/conv_stem/kernel"] = _conv(value)
+        return
+    m = re.match(r"_bn0\.(\w+)$", key)
+    if m:
+        out.bn(f"{prefix}/bn0", m.group(1), value)
+        return
+    m = re.match(r"_blocks\.(\d+)\.(_\w+?)\.(\w+)$", key)
+    if not m:
+        raise KeyError(f"unrecognized efficientnet key {key}")
+    name, kind = _EFF_BLOCK_PARTS[m.group(2)]
+    path = f"{prefix}/blocks_{m.group(1)}/{name}"
+    if kind == "bn":
+        out.bn(path, m.group(3), value)
+    elif m.group(3) == "weight":
+        out.params[f"{path}/kernel"] = _conv(value)
+    else:
+        out.params[f"{path}/bias"] = value
+
+
+_LSS_HEAD_RE = re.compile(
+    r"(cls|reg|dir)_head(_before_fusion)?\.(weight|bias)$")
+
+
+def _map_lss_family(state_dict: dict, out: _Tree):
+    """Camera LSS family (ref lift_splat_shoot.py:16 /
+    lift_splat_shoot_intermediate.py:18): camencode (EfficientNet-b0 or
+    resnet101-slice trunk + Up stack + 1x1 heads), bevencode (resnet18
+    trunk + Up decode [+ fusion]), detection heads (+ _before_fusion
+    variants -> heads_single), optional shrink_conv."""
+    eff = any(k.startswith("camencode.trunk.") for k in state_dict)
+    fuse: dict[str, np.ndarray] = {}
+    for key, v in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        m = _LSS_HEAD_RE.match(key)
+        if m:
+            tgt = "heads_single" if m.group(2) else "heads"
+            if m.group(3) == "weight":
+                out.params[f"{tgt}/{m.group(1)}_head/kernel"] = _conv(v)
+            else:
+                out.params[f"{tgt}/{m.group(1)}_head/bias"] = v
+            continue
+        if key.startswith("shrink_conv."):
+            _map_shrink({key[len("shrink_conv."):]: v}, out, "shrink")
+            continue
+        if key.startswith("camencode."):
+            k = key[len("camencode."):]
+            if re.match(r"(depth|image)_head\.(weight|bias)$", k):
+                name, field = k.split(".")
+                if field == "weight":
+                    out.params[f"camencode/{name}/kernel"] = _conv(v)
+                else:
+                    out.params[f"camencode/{name}/bias"] = v
+            elif eff:
+                if k.startswith("trunk."):
+                    _map_effnet_trunk_key(k[len("trunk."):], v, out,
+                                          "camencode/trunk")
+                elif k.startswith(("up1.", "up2.")):
+                    _map_torch_up({k[4:]: v}, out, f"camencode/{k[:3]}")
+                else:
+                    raise KeyError(f"unmapped camencode key {key}")
+            else:  # resnet101 slice
+                if k.startswith(("up1.", "up2.")):
+                    # constructed but never called in the reference's
+                    # downsample-8 forward (ref lss_submodule.py:210-216
+                    # returns x_8 directly) — dead weights, dropped
+                    continue
+                if k == "conv1.weight":
+                    out.params["camencode/trunk/conv1/kernel"] = _conv(v)
+                elif k.startswith("bn1."):
+                    out.bn("camencode/trunk/bn1", k.split(".")[1], v)
+                elif k.startswith("layer"):
+                    _map_tv_layer_key(k, v, out, "camencode/trunk",
+                                      bottleneck=True)
+                else:
+                    raise KeyError(f"unmapped camencode key {key}")
+            continue
+        if key.startswith("bevencode."):
+            k = key[len("bevencode."):]
+            if k == "conv1.weight":
+                out.params["bevencode/trunk/conv1/kernel"] = _conv(v)
+            elif k.startswith("bn1."):
+                out.bn("bevencode/trunk/bn1", k.split(".")[1], v)
+            elif k.startswith("layer"):
+                _map_tv_layer_key(k, v, out, "bevencode/trunk",
+                                  bottleneck=False)
+            elif k.startswith("up1."):
+                _map_torch_up({k[4:]: v}, out, "bevencode/up1")
+            elif k.startswith(("up_layer1.", "up_layer2.")):
+                name, rest = k.split(".", 1)
+                _map_torch_up({rest: v}, out, f"bevencode/{name}")
+            elif k.startswith("up2."):
+                # single-agent BevEncode tail Sequential
+                # [Upsample, Conv, BN, ReLU, Conv] (ref lss_submodule.py:263)
+                m = re.match(r"up2\.([124])\.(\w+)$", k)
+                if not m:
+                    raise KeyError(f"unrecognized bevencode key {key}")
+                slot, field = m.groups()
+                if slot == "1":
+                    out.params["bevencode/up2_conv/kernel"] = _conv(v)
+                elif slot == "2":
+                    out.bn("bevencode/up2_bn", field, v)
+                else:
+                    tgt = "kernel" if field == "weight" else "bias"
+                    out.params[f"bevencode/up2_out/{tgt}"] = (
+                        _conv(v) if field == "weight" else v)
+            elif k.startswith("down_layer."):
+                m = re.match(r"down_layer\.([02])\.(\w+)$", k)
+                if not m:
+                    raise KeyError(f"unrecognized bevencode key {key}")
+                name = "down1" if m.group(1) == "0" else "down2"
+                tgt = "kernel" if m.group(2) == "weight" else "bias"
+                out.params[f"bevencode/{name}/{tgt}"] = (
+                    _conv(v) if m.group(2) == "weight" else v)
+            elif k.startswith("fuse_module."):
+                fuse[k[len("fuse_module."):]] = v
+            else:
+                raise KeyError(f"unmapped bevencode key {key}")
+            continue
+        raise KeyError(f"unmapped reference key {key!r} — extend "
+                       "coalign_tpu/utils/ckpt_import.py")
+    if fuse:
+        _map_one_fusion(fuse, out, "bevencode/fuse")
+
+
 _HEAD_RE = re.compile(r"(cls|reg|dir|iou|unc)_head\.(weight|bias)$")
 
 # ref sparse_backbone_3d.py:33 VoxelBackBone8x block order -> flax
@@ -636,6 +823,9 @@ def opencood_to_flax(state_dict: dict, target_variables=None):
     if any(k.startswith(("backbone_3d.", "spconv_block."))
            for k in state_dict):
         _map_second_family(state_dict, out, target_params)
+        return dict(zip(("params", "batch_stats"), out.finish()))
+    if any(k.startswith("camencode.") for k in state_dict):
+        _map_lss_family(state_dict, out)
         return dict(zip(("params", "batch_stats"), out.finish()))
     backbone = {}
     fusion = {}

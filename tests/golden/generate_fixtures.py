@@ -108,7 +108,9 @@ class _ShimPolygon:
 def _stub_reference_deps():
     for name, attrs in [
         ("icecream", {"ic": lambda *a, **k: None}),
-        ("shapely", {}), ("shapely.geometry", {"Polygon": _ShimPolygon}),
+        ("shapely", {}), ("shapely.geometry", {"Polygon": _ShimPolygon,
+                                               "Point": object,
+                                               "MultiPoint": object}),
         ("pyquaternion", {"Quaternion": object}),
         ("cv2", {}), ("open3d", {}),
         # the compiled Cython IoU ext — unused by the fixtures we trace
@@ -566,7 +568,7 @@ def gen_second_intermediate():
                                       7 * SECOND_ARGS["anchor_number"], 1)
 
     model = SecondIntermediateEmu()
-    _randomize(model, seed=71)
+    _randomize_fan_in(model, seed=71)
     g = torch.Generator().manual_seed(72)
     with torch.no_grad():
         for m in model.modules():
@@ -914,8 +916,410 @@ def gen_e2e_ap():
           [len(arrays[f"pred_scores_{i}"]) for i in range(E2E_FRAMES)])
 
 
+def _install_camera_deps():
+    """Install REAL (not dummy) torch implementations of the two trunk
+    packages the reference camera stack imports but this image lacks:
+    ``efficientnet_pytorch`` (EfficientNet-b0: TF-SAME padding, swish,
+    squeeze-excite on the block input width, BN eps 1e-3) and
+    ``torchvision.models.resnet`` (resnet18 / resnet101). Architecture-
+    and state-dict-key-exact at eval time, so fixtures recorded through
+    them pin the layout of a real trained ``.pth``; the weights are
+    randomized by _randomize anyway. Also routes the reference's
+    hardcoded ``.to(torch.device('cuda'))`` (lift_splat_shoot.py:27-33)
+    to CPU for tracing on this torch-cpu image."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    if getattr(sys.modules.get("efficientnet_pytorch"), "_coalign_shim",
+               None):
+        return
+
+    class SamePadConv2d(nn.Conv2d):
+        """TF-SAME dynamic padding (efficientnet_pytorch
+        Conv2dDynamicSamePadding semantics: pad more on bottom/right)."""
+
+        def forward(self, x):
+            ih, iw = x.shape[-2:]
+            kh, kw = self.weight.shape[-2:]
+            sh, sw = self.stride
+            ph = max((math.ceil(ih / sh) - 1) * sh
+                     + (kh - 1) * self.dilation[0] + 1 - ih, 0)
+            pw = max((math.ceil(iw / sw) - 1) * sw
+                     + (kw - 1) * self.dilation[1] + 1 - iw, 0)
+            if ph or pw:
+                x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+            return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                            self.dilation, self.groups)
+
+    def _swish(x):
+        return x * torch.sigmoid(x)
+
+    class Swish(nn.Module):
+        def forward(self, x):
+            return _swish(x)
+
+    # b0 MBConv stack: (in, out, kernel, stride, expand), se_ratio 0.25
+    b0_blocks = [(32, 16, 3, 1, 1), (16, 24, 3, 2, 6), (24, 24, 3, 1, 6),
+                 (24, 40, 5, 2, 6), (40, 40, 5, 1, 6), (40, 80, 3, 2, 6),
+                 (80, 80, 3, 1, 6), (80, 80, 3, 1, 6), (80, 112, 5, 1, 6),
+                 (112, 112, 5, 1, 6), (112, 112, 5, 1, 6),
+                 (112, 192, 5, 2, 6), (192, 192, 5, 1, 6),
+                 (192, 192, 5, 1, 6), (192, 192, 5, 1, 6),
+                 (192, 320, 3, 1, 6)]
+
+    def eff_bn(c):
+        return nn.BatchNorm2d(c, momentum=0.01, eps=1e-3)
+
+    class MBConvBlock(nn.Module):
+        def __init__(self, ci, co, k, s, e):
+            super().__init__()
+            exp = ci * e
+            if e != 1:
+                self._expand_conv = SamePadConv2d(ci, exp, 1, bias=False)
+                self._bn0 = eff_bn(exp)
+            self._depthwise_conv = SamePadConv2d(exp, exp, k, stride=s,
+                                                 groups=exp, bias=False)
+            self._bn1 = eff_bn(exp)
+            sq = max(1, ci // 4)
+            self._se_reduce = SamePadConv2d(exp, sq, 1)
+            self._se_expand = SamePadConv2d(sq, exp, 1)
+            self._project_conv = SamePadConv2d(exp, co, 1, bias=False)
+            self._bn2 = eff_bn(co)
+            self._skip = s == 1 and ci == co
+
+        def forward(self, inputs, drop_connect_rate=None):
+            x = inputs
+            if hasattr(self, "_expand_conv"):
+                x = _swish(self._bn0(self._expand_conv(x)))
+            x = _swish(self._bn1(self._depthwise_conv(x)))
+            se = F.adaptive_avg_pool2d(x, 1)
+            se = self._se_expand(_swish(self._se_reduce(se)))
+            x = torch.sigmoid(se) * x
+            x = self._bn2(self._project_conv(x))
+            if self._skip:  # drop_connect is train-only; fixtures run eval
+                x = x + inputs
+            return x
+
+    class EfficientNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self._conv_stem = SamePadConv2d(3, 32, 3, stride=2, bias=False)
+            self._bn0 = eff_bn(32)
+            self._blocks = nn.ModuleList(MBConvBlock(*a) for a in b0_blocks)
+            self._conv_head = SamePadConv2d(320, 1280, 1, bias=False)
+            self._bn1 = eff_bn(1280)
+            self._fc = nn.Linear(1280, 1000)
+            self._swish = Swish()
+            self._global_params = types.SimpleNamespace(
+                drop_connect_rate=0.2)
+
+        @classmethod
+        def from_pretrained(cls, name, **kw):
+            assert name == "efficientnet-b0", name
+            return cls()
+
+    eff = types.ModuleType("efficientnet_pytorch")
+    eff.EfficientNet = EfficientNet
+    eff._coalign_shim = True
+    sys.modules["efficientnet_pytorch"] = eff
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inp, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inp, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idt)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inp, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inp, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + idt)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], 2)
+            self.layer3 = self._make_layer(block, 256, layers[2], 2)
+            self.layer4 = self._make_layer(block, 512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(512 * block.expansion, 1000)
+
+        def _make_layer(self, block, planes, n, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride, bias=False),
+                    nn.BatchNorm2d(planes * block.expansion))
+            layers = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            layers += [block(self.inplanes, planes) for _ in range(n - 1)]
+            return nn.Sequential(*layers)
+
+    def resnet18(pretrained=False, zero_init_residual=False, **kw):
+        return ResNet(BasicBlock, [2, 2, 2, 2])
+
+    def resnet101(pretrained=False, zero_init_residual=False, **kw):
+        return ResNet(Bottleneck, [3, 4, 23, 3])
+
+    # minimal-but-real transforms (camera_utils.py:100-126 builds
+    # Normalize/Compose/ToTensor pipelines at import time)
+    class Normalize(nn.Module):
+        def __init__(self, mean, std, inplace=False):
+            super().__init__()
+            self.mean, self.std = mean, std
+
+        def forward(self, t):
+            mean = torch.as_tensor(self.mean, dtype=t.dtype).view(-1, 1, 1)
+            std = torch.as_tensor(self.std, dtype=t.dtype).view(-1, 1, 1)
+            return (t - mean) / std
+
+    class Compose:
+        def __init__(self, ts):
+            self.transforms = list(ts)
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return torch.from_numpy(np.ascontiguousarray(arr))
+
+    class ToPILImage:
+        def __call__(self, t):
+            return t
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvr = types.ModuleType("torchvision.models.resnet")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvr.resnet18, tvr.resnet101 = resnet18, resnet101
+    tvr.BasicBlock, tvr.Bottleneck = BasicBlock, Bottleneck
+    tvt.Normalize, tvt.Compose = Normalize, Compose
+    tvt.ToTensor, tvt.ToPILImage = ToTensor, ToPILImage
+    tv.models, tvm.resnet, tv.transforms = tvm, tvr, tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.models.resnet"] = tvr
+    sys.modules["torchvision.transforms"] = tvt
+
+    # latent reference bug: lss_submodule.py:16 imports Where2commFusion
+    # from fusion_in_one, which only defines When2commFusion — alias it so
+    # the module imports (the LSS models never construct it)
+    import opencood.models.fuse_modules.fusion_in_one as _fio
+    if not hasattr(_fio, "Where2commFusion"):
+        _fio.Where2commFusion = _fio.When2commFusion
+
+    orig_to = torch.Tensor.to
+
+    def _to(self, *a, **kw):
+        if a and ((isinstance(a[0], torch.device) and a[0].type == "cuda")
+                  or (isinstance(a[0], str) and a[0].startswith("cuda"))):
+            return self
+        return orig_to(self, *a, **kw)
+
+    torch.Tensor.to = _to
+
+
+def _randomize_fan_in(model, seed):
+    """Fan-in-scaled random weights + random BN stats. The flat 0.1-scale
+    _randomize explodes through the 20+-layer camera trunks (activations
+    reach 1e7 and the attention QK^T overflows f32 to inf -> NaN softmax
+    on BOTH sides); ~He-scaled weights keep activations O(1) so the
+    parity comparison is numerically meaningful."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                fan_in = int(np.prod(p.shape[1:]))
+                p.copy_(torch.randn(p.shape, generator=g)
+                        / max(fan_in, 1) ** 0.5)
+            else:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.05)
+                m.running_var.copy_(
+                    1.0 + 0.3 * torch.rand(m.running_var.shape, generator=g))
+                m.weight.copy_(
+                    1.0 + 0.2 * torch.randn(m.weight.shape, generator=g))
+                m.bias.copy_(
+                    torch.randn(m.bias.shape, generator=g) * 0.05)
+
+
+LSS_GRID = {"xbound": [-12.8, 12.8, 0.4], "ybound": [-12.8, 12.8, 0.4],
+            "zbound": [-10.0, 10.0, 20.0], "ddiscr": [2, 10, 8],
+            "mode": "UD"}
+LSS_AUG = {"final_dim": [64, 96]}
+
+
+def _lss_args(extra=None):
+    a = {"anchor_number": 2, "grid_conf": LSS_GRID, "data_aug_conf": LSS_AUG,
+         "dir_args": TINY_ARGS["dir_args"], "img_downsample": 8,
+         "img_features": 32, "use_depth_gt": False,
+         "depth_supervision": False, "bevout_feature": 64,
+         "camera_encoder": "EfficientNet", "supervise_single": False}
+    if extra:
+        a.update(extra)
+    return a
+
+
+def _camera_inputs(seed, frames, n_cams):
+    """Torch-layout camera inputs (imgs NCHW) with per-camera yaw so the
+    BEV splats land in different sectors."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    h, w = LSS_AUG["final_dim"]
+    imgs = rng.normal(0, 0.3, (frames, n_cams, 3, h, w)).astype(np.float32)
+    intrins = np.tile(np.eye(3, dtype=np.float32), (frames, n_cams, 1, 1))
+    intrins[..., 0, 0] = 40.0
+    intrins[..., 1, 1] = 40.0
+    intrins[..., 0, 2] = (w - 1) / 2
+    intrins[..., 1, 2] = (h - 1) / 2
+    base = np.array([[0, 0, 1.0], [-1.0, 0, 0], [0, -1.0, 0]], np.float32)
+    rots = np.zeros((frames, n_cams, 3, 3), np.float32)
+    for f in range(frames):
+        for c in range(n_cams):
+            yaw = 2 * np.pi * c / n_cams + rng.uniform(-0.1, 0.1)
+            rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                           [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]],
+                          np.float32)
+            rots[f, c] = rz @ base
+    trans = rng.uniform(-1, 1, (frames, n_cams, 3)).astype(np.float32)
+    trans[..., 2] = rng.uniform(1.5, 2.0, (frames, n_cams))
+    post_rots = np.tile(np.eye(3, dtype=np.float32), (frames, n_cams, 1, 1))
+    post_trans = np.zeros((frames, n_cams, 3), np.float32)
+    t = {k: torch.from_numpy(v) for k, v in
+         [("imgs", imgs), ("rots", rots), ("trans", trans),
+          ("intrins", intrins), ("post_rots", post_rots),
+          ("post_trans", post_trans)]}
+    arrays = {"imgs": imgs, "rots": rots, "trans": trans,
+              "intrins": intrins, "post_rots": post_rots,
+              "post_trans": post_trans}
+    return t, arrays
+
+
+def _save_lss_fixture(tag, model, data_dict, arrays):
+    import torch
+
+    model.eval()
+    torch.save(model.state_dict(), os.path.join(HERE, f"{tag}.pth"))
+    with torch.no_grad():
+        out = model(data_dict)
+    rec = dict(arrays)
+    for k in ("cls_preds", "reg_preds", "dir_preds", "cls_preds_single",
+              "reg_preds_single", "dir_preds_single"):
+        if k in out:
+            rec[k] = out[k].numpy()
+    np.savez(os.path.join(HERE, f"{tag}_io.npz"), **rec)
+    print(f"{tag}: cls", tuple(out["cls_preds"].shape))
+
+
+def gen_lss(variant="EfficientNet"):
+    """Single-agent LSS (ref lift_splat_shoot.py:16) with the
+    architecture-exact camera trunk stand-ins; records the .pth (real key
+    space) + activations on 2 frames x 2 cams. The EfficientNet variant
+    also carries the reference's shrink_header (lss_single_*.yaml:105)."""
+    _install_camera_deps()
+    from opencood.models.lift_splat_shoot import LiftSplatShoot
+
+    tag = ("lss_efficientnet" if variant == "EfficientNet"
+           else "lss_resnet101")
+    extra = {"camera_encoder": variant}
+    if variant == "EfficientNet":
+        extra["shrink_header"] = {"kernal_size": [3], "stride": [2],
+                                  "padding": [1], "dim": [64],
+                                  "input_dim": 64}
+    model = LiftSplatShoot(_lss_args(extra))
+    _randomize_fan_in(model, seed=61 if variant == "EfficientNet" else 67)
+    t, arrays = _camera_inputs(seed=62, frames=2, n_cams=2)
+    _save_lss_fixture(tag, model, {"image_inputs": t}, arrays)
+
+
+def gen_lss_intermediate():
+    """Collaborative LSS with att_ms fusion + supervise_single (ref
+    lift_splat_shoot_intermediate.py:18, the lss_coalign_fusion.yaml
+    shape), 1 batch x 2 agents x 2 cams."""
+    import torch
+
+    _install_camera_deps()
+    from opencood.models.lift_splat_shoot_intermediate import \
+        LiftSplatShootIntermediate
+
+    args = _lss_args({
+        "supervise_single": True,
+        # the SS/MS BevEncode fusion decodes to a FIXED 128 channels
+        # (down_layer, ref lss_submodule.py:307) -> bevout must be 128
+        "bevout_feature": 128,
+        "fusion_args": {"core_method": "att_ms",
+                        "args": {"voxel_size": [0.4, 0.4, 20.0],
+                                 "in_channels": 32}}})
+    model = LiftSplatShootIntermediate(args)
+    _randomize_fan_in(model, seed=71)
+    t, arrays = _camera_inputs(seed=72, frames=2, n_cams=2)
+    t01 = _se2(1.5, -0.8, np.deg2rad(15.0))
+    pairwise = np.stack([np.stack([np.eye(4, dtype=np.float32), t01]),
+                         np.stack([np.linalg.inv(t01).astype(np.float32),
+                                   np.eye(4, dtype=np.float32)])])[None]
+    arrays["pairwise"] = pairwise
+    data_dict = {"image_inputs": t,
+                 "record_len": torch.tensor([2]),
+                 "pairwise_t_matrix": torch.from_numpy(pairwise)}
+    _save_lss_fixture("lss_intermediate", model, data_dict, arrays)
+
+
 GENERATORS = {
     "e2e_ap": gen_e2e_ap,
+    "lss_efficientnet": lambda: gen_lss("EfficientNet"),
+    "lss_resnet101": lambda: gen_lss("Resnet101"),
+    "lss_intermediate": gen_lss_intermediate,
     "point_pillar_resnet": lambda: gen_point_pillar(resnet=True),
     "point_pillar_base": lambda: gen_point_pillar(resnet=False),
     "compressor": gen_compressor,

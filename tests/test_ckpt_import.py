@@ -485,3 +485,94 @@ def test_cli_inference_second_with_reference_arg_names(tmp_path):
     opt.model_dir = model_dir
     res = cmd_inference(opt)
     assert np.isfinite(res["ap30"])
+
+
+# ---- camera LSS family (architecture-exact trunks, r3) ----
+
+LSS_GRID = {"xbound": [-12.8, 12.8, 0.4], "ybound": [-12.8, 12.8, 0.4],
+            "zbound": [-10.0, 10.0, 20.0], "ddiscr": [2, 10, 8],
+            "mode": "UD"}
+LSS_AUG = {"final_dim": [64, 96]}
+
+
+def _lss_model_args(extra=None):
+    a = {"anchor_number": 2, "grid_conf": LSS_GRID, "data_aug_conf": LSS_AUG,
+         "dir_args": TINY_ARGS["dir_args"], "img_downsample": 8,
+         "img_features": 32, "bevout_feature": 64,
+         "camera_encoder": "EfficientNet", "supervise_single": False}
+    if extra:
+        a.update(extra)
+    return a
+
+
+def _lss_batch(io, b, l):
+    """Torch-layout fixture arrays -> our NHWC image_inputs contract."""
+    n = io["imgs"].shape[1]
+    r = lambda a: jnp.asarray(a.reshape((b, l) + a.shape[1:]))
+    imgs = io["imgs"].transpose(0, 1, 3, 4, 2)  # (F, N, H, W, 3)
+    batch = {
+        "agent_mask": jnp.ones((b, l), bool),
+        "image_inputs": {
+            "imgs": jnp.asarray(imgs.reshape((b, l, n) + imgs.shape[2:])),
+            "rots": r(io["rots"]), "trans": r(io["trans"]),
+            "intrins": r(io["intrins"]), "post_rots": r(io["post_rots"]),
+            "post_trans": r(io["post_trans"]),
+        },
+    }
+    if "pairwise" in io:
+        batch["pairwise_t_matrix"] = jnp.asarray(io["pairwise"])
+    return batch
+
+
+def _lss_import_parity(tag, core_method, args, b, l, keys, tol=2e-3):
+    io = np.load(os.path.join(GOLDEN, f"{tag}_io.npz"))
+    model = build_model({"core_method": core_method, "args": args})
+    batch = _lss_batch(io, b, l)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
+    variables = load_reference_checkpoint(
+        os.path.join(GOLDEN, f"{tag}.pth"), variables)
+    out = jit_apply(model, variables, batch, train=False)
+    for key in keys:
+        mine = np.asarray(out[key], np.float32).transpose(0, 3, 1, 2)
+        ref = io[key]
+        denom = max(np.abs(ref).max(), 1e-6)
+        rel = np.abs(mine - ref).max() / denom
+        assert rel < tol, f"{key}: rel err {rel:.2e}"
+
+
+def test_lss_efficientnet_checkpoint_reproduces_reference_logits():
+    """Single-agent LSS, EfficientNet-b0 trunk + Up stack + shrink (ref
+    lift_splat_shoot.py:16, lss_submodule.py:41): the trained trunk lives
+    INSIDE the .pth, so architecture-exact flax modules make the whole
+    camera branch importable like the lidar families."""
+    _lss_import_parity(
+        "lss_efficientnet", "lift_splat_shoot",
+        _lss_model_args({"shrink_header": {
+            "kernal_size": [3], "stride": [2], "padding": [1],
+            "dim": [64], "input_dim": 64}}),
+        b=2, l=1, keys=("cls_preds", "reg_preds", "dir_preds"))
+
+
+def test_lss_resnet101_checkpoint_reproduces_reference_logits():
+    """Single-agent LSS with the resnet101-through-layer2 encoder (ref
+    lss_submodule.py:142; its dead up1/up2 weights are dropped)."""
+    _lss_import_parity(
+        "lss_resnet101", "lift_splat_shoot",
+        _lss_model_args({"camera_encoder": "Resnet101"}),
+        b=2, l=1, keys=("cls_preds", "reg_preds", "dir_preds"))
+
+
+def test_lss_intermediate_checkpoint_reproduces_reference_logits():
+    """Collaborative LSS, att_ms fusion + supervise_single heads (ref
+    lift_splat_shoot_intermediate.py:18): pins camencode + BevEncode
+    MS-fusion decode + both head sets through a real checkpoint."""
+    _lss_import_parity(
+        "lss_intermediate", "lift_splat_shoot_intermediate",
+        _lss_model_args({
+            "supervise_single": True, "bevout_feature": 128,
+            "fusion_args": {"core_method": "att_ms",
+                            "args": {"voxel_size": [0.4, 0.4, 20.0],
+                                     "in_channels": 32}}}),
+        b=1, l=2, keys=("cls_preds", "reg_preds", "dir_preds",
+                        "cls_preds_single", "reg_preds_single",
+                        "dir_preds_single"))

@@ -199,8 +199,10 @@ def test_lss_intermediate_forward_ms_and_ss():
         batch = _camera_batch(b=1, l=2, n=2)
         variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
         out = jit_apply(model, variables, batch, train=False)
-        assert out["cls_preds"].shape == (1, 40, 40, 2)
-        assert out["cls_preds_single"].shape == (2, 40, 40, 2)
+        # collaborative BevEncode*Fusion decodes to BEV/2 (ref
+        # lss_submodule.py:349 240 -> 120), unlike the full-res single path
+        assert out["cls_preds"].shape == (1, 20, 20, 2)
+        assert out["cls_preds_single"].shape == (2, 20, 20, 2)
         assert np.isfinite(np.asarray(out["cls_preds"])).all()
 
 
@@ -212,19 +214,19 @@ def test_lss_fusion_zoo_v2vnet_v2xvit_max():
         "max": {"core_method": "max"},
         "v2vnet": {"core_method": "v2vnet",
                    "args": {"v2vnet": {"num_iteration": 1,
-                                       "in_channels": 64,
+                                       "in_channels": 256,
                                        "agg_operator": "max",
                                        "conv_gru": {"kernel_size": [[3, 3]]}}}},
         "v2xvit": {"core_method": "v2xvit",
                    "args": {"v2xvit": {"transformer": {"encoder": {
                        "num_blocks": 1, "depth": 1,
-                       "cav_att_config": {"dim": 64, "heads": 4,
+                       "cav_att_config": {"dim": 256, "heads": 4,
                                           "dim_head": 16},
-                       "pwindow_att_config": {"dim": 64, "heads": [4, 2, 2],
+                       "pwindow_att_config": {"dim": 256, "heads": [4, 2, 2],
                                               "dim_head": [16, 32, 32],
                                               "window_size": [2, 4, 8],
                                               "fusion_method": "split_attn"},
-                       "feed_forward": {"mlp_dim": 64},
+                       "feed_forward": {"mlp_dim": 256},
                    }}}}},
     }
     for name, fargs in fusion_cases.items():
@@ -234,25 +236,34 @@ def test_lss_fusion_zoo_v2vnet_v2xvit_max():
         batch = _camera_batch(b=1, l=2, n=2)
         variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
         out = jit_apply(model, variables, batch, train=False)
-        assert out["cls_preds"].shape == (1, 40, 40, 2), name
+        assert out["cls_preds"].shape == (1, 20, 20, 2), name
         assert np.isfinite(np.asarray(out["cls_preds"])).all(), name
 
 
 def test_camera_encoder_variant_knob():
-    """camera_encoder: Resnet101 builds a heavier trunk than EfficientNet
-    (ref lss_submodule.py CamEncode vs CamEncode_Resnet101)."""
+    """camera_encoder switches between the ARCHITECTURE-EXACT trunks
+    (ref lss_submodule.py:41 CamEncode = EfficientNet-b0 + Up stack vs
+    :142 CamEncode_Resnet101 = resnet101 through layer2, no Up blocks in
+    the downsample-8 forward)."""
     import jax
 
-    def nparams(variant):
+    def cam_tree(variant):
         model = build_model({"core_method": "lift_splat_shoot",
                              "args": _args({"camera_encoder": variant})})
         batch = _camera_batch(b=1, l=1, n=1)
         v = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
-        return sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+        return v["params"]["camencode"]
 
-    light = nparams("EfficientNet")
-    heavy = nparams("Resnet101")
-    assert heavy > light * 1.5
+    eff = cam_tree("EfficientNet")
+    # 16 MBConv blocks + stem, and the two Up blocks of the /8 path
+    assert "blocks_15" in eff["trunk"] and "conv_stem" in eff["trunk"]
+    assert "up1" in eff and "up2" in eff
+    r101 = cam_tree("Resnet101")
+    # 3 + 4 bottlenecks, 512 ch at /8 feeding the 1x1 heads; the
+    # reference's dead up1/up2 modules are not constructed at all
+    assert "layer1_2" in r101["trunk"] and "layer2_3" in r101["trunk"]
+    assert "up1" not in r101
+    assert r101["image_head"]["kernel"].shape[2] == 512
 
 
 def test_lss_learns_from_rendered_views():
