@@ -44,11 +44,13 @@ def warp_affine(src, affine, out_hw=None):
 def _bilinear_gather(src, fx, fy):
     """Zero-padded bilinear sampling of (H, W, C) at float coords (..., ).
 
-    The two x-neighbors are PACKED into one 2C-wide row before gathering,
-    so the 4 bilinear taps become 2 row gathers of full-width (128-lane at
-    C=64) rows — on TPU the gather cost scales with gathered rows and
-    wastes half of every lane-row at C=64. Math identical to the naive
-    4-tap form (each tap masked to zero out of bounds)."""
+    Four independent C-wide row gathers from one zero-framed (h*(w+2), C)
+    table — one gather per bilinear tap. Raced on the v5e against the
+    round-2 paired-channel 2-gather form (_bilinear_gather_pair): equal or
+    faster at every production scale (0.023 vs 0.033 ms at 100x352x64xL20)
+    AND it avoids the 2C-wide packed-row gather that repeatably faults the
+    TPU worker at the (50, 176, 128) scale-1 shape for B=4
+    (examples/probe_warp_variants.py, 2026-08)."""
     h, w, c = src.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -57,9 +59,43 @@ def _bilinear_gather(src, fx, fy):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    # sp[y, p] for p in [0, w+1]: zero | src row | zero; pair[y, p] packs
-    # (sp[y, p], sp[y, p+1]) == (src[y, x0], src[y, x0+1]) at p = x0 + 1,
-    # covering the boundary taps (x0 == -1 / x0 == w-1) with zeros.
+    # sp[y, p] for p in [0, w+1]: zero | src row | zero; index p = x0 + 1
+    # covers the boundary taps (x0 == -1 / x0 == w) with zeros.
+    sp = jnp.pad(src, ((0, 0), (1, 1), (0, 0)))
+    flat = sp.reshape(h * (w + 2), c)
+    p = jnp.clip(x0i + 1, 0, w)
+
+    def tap(yi, dx):
+        """(..., c) = src[yi, x0 - 1 + dx], zero when yi out of bounds."""
+        iny = (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * (w + 2) + p + dx
+        vals = flat[idx.reshape(-1)].reshape(idx.shape + (c,))
+        return vals * iny[..., None].astype(src.dtype)
+
+    m0 = ((x0i >= 0) & (x0i < w))[..., None].astype(src.dtype)
+    m1 = ((x0i + 1 >= 0) & (x0i + 1 < w))[..., None].astype(src.dtype)
+    wx0 = (1 - tx)[..., None].astype(src.dtype) * m0
+    wx1 = tx[..., None].astype(src.dtype) * m1
+    ty_ = ty[..., None].astype(src.dtype)
+    top_v = tap(y0i, 0) * wx0 + tap(y0i, 1) * wx1
+    bot_v = tap(y0i + 1, 0) * wx0 + tap(y0i + 1, 1) * wx1
+    return top_v * (1 - ty_) + bot_v * ty_
+
+
+def _bilinear_gather_pair(src, fx, fy):
+    """Round-2 production form: the two x-neighbors PACKED into one
+    2C-wide row, 2 gathers total. RETIRED: the 256-lane packed rows at
+    C=128 (scale 1) repeatably fault the v5e TPU worker at B=4 (padrow /
+    halfw variants of the same packing fault identically — see
+    examples/probe_warp_variants.py). Kept as a tested reference point."""
+    h, w, c = src.shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
     sp = jnp.pad(src, ((0, 0), (1, 1), (0, 0)))
     pair = jnp.concatenate([sp[:, :-1], sp[:, 1:]], axis=-1)  # (h, w+1, 2c)
     flat = pair.reshape(h * (w + 1), 2 * c)
