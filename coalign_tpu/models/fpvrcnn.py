@@ -119,7 +119,9 @@ class FpvRcnn(_VoxelBase):
 
         fused = jax.vmap(lambda bx, sc, vm: match_and_fuse(
             bx, sc, vm, self.args.get("matcher_iou", 0.1),
-            self.args.get("max_rois", 32)))(boxes, scores, valid)
+            self.args.get("max_rois", 32),
+            version=self.args.get("matcher_version", "ref"),
+            gt_range=self.args.get("lidar_range")))(boxes, scores, valid)
 
         grid_size = self.args.get("roi_grid_size", 6)
         roi_head = RoIHead(hidden=self.args.get("roi_hidden", 256))
