@@ -192,6 +192,39 @@ class Deblock(nn.Module):
         return nn.relu(x)
 
 
+class TorchConvTranspose2d(nn.Module):
+    """Exact ``torch.nn.ConvTranspose2d(k, s, p, output_padding)``: dilate
+    the input by s, pad (k-1-p) low / (k-1-p+op) high, stride-1 correlate.
+    The kernel parameter is stored SPATIALLY FLIPPED in (kh, kw, in, out)
+    layout — exactly what utils/ckpt_import._tconv produces from a torch
+    weight, so checkpoints drop straight in. (flax nn.ConvTranspose's
+    'SAME' padding does NOT reproduce the torch k3/s2/p1/op1 alignment —
+    verified against torch f64.)"""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, x.shape[-1],
+             self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        lo = self.kernel_size - 1 - self.padding
+        hi = lo + self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), ((lo, hi), (lo, hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(x.dtype)
+
+
 class DownsampleConv(nn.Module):
     """Shrink header (ref downsample_conv.py:30): stacked DoubleConvs."""
 

@@ -2,10 +2,14 @@
 
 TPU-first rework of ref opencood/models/pixor.py:256 /
 pixor_intermediate.py:38: the BEV occupancy raster is computed on device
-(ops/bev_raster.py) instead of in dataloader workers, the backbone is a
-Bottleneck ResNet ([3, 6, 6, 3] stages like the reference) returning 4x
-downsampled features, and the header emits a 1-ch dense cls map + 6-ch reg
-map [cos, sin, dx, dy, log w, log l] (no anchors).
+(ops/bev_raster.py) instead of in dataloader workers; the backbone /
+header are ARCHITECTURE-EXACT counterparts of the reference (Bottleneck
+stages [3, 6, 6, 3] at 96/192/256/384 ch, FPN laterals 196/128/96,
+k3-s2-p1-op1 deconvs, 4-conv header emitting a 1-ch dense cls map + 6-ch
+reg map [cos, sin, dx, dy, log w, log l] — no anchors), so trained
+reference checkpoints import via utils/ckpt_import.py. ``use_bn: false``
+switches every conv to biased BN-less form exactly like the reference
+knob.
 """
 
 from __future__ import annotations
@@ -17,73 +21,139 @@ import jax
 import jax.numpy as jnp
 
 from coalign_tpu.models import register_model
-from coalign_tpu.models.fuse.fusion import build_fusion
-from coalign_tpu.models.layers import ConvBNReLU, MaskedBatchNorm
+from coalign_tpu.models.layers import (MaskedBatchNorm,
+                                       TorchConvTranspose2d)
 from coalign_tpu.ops.bev_raster import BevSpec, rasterize_bev
 
 
-class Bottleneck(nn.Module):
-    """torchvision-style bottleneck (ref pixor.py Bottleneck)."""
+class PixorBottleneck(nn.Module):
+    """ref pixor.py:51 Bottleneck (expansion 4): 1x1 -> 3x3(stride) -> 1x1
+    with per-conv optional BN; downsample is a 1x1 stride-2 projection
+    (+BN when use_bn)."""
 
     planes: int
     stride: int = 1
+    use_bn: bool = True
+    has_down: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out_ch = self.planes * 4
+        bias = not self.use_bn
+
+        def bn(y, name):
+            if self.use_bn:
+                y = MaskedBatchNorm(epsilon=1e-5, name=name)(y, train=train)
+            return y
+
+        out = nn.Conv(self.planes, (1, 1), use_bias=bias, name="conv1")(x)
+        out = nn.relu(bn(out, "bn1"))
+        out = nn.Conv(self.planes, (3, 3),
+                      strides=(self.stride, self.stride),
+                      padding=[(1, 1)] * 2, use_bias=bias,
+                      name="conv2")(out)
+        out = nn.relu(bn(out, "bn2"))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=bias,
+                      name="conv3")(out)
+        out = bn(out, "bn3")
         identity = x
-        y = ConvBNReLU(self.planes, 1, 1, 0)(x, train=train)
-        y = ConvBNReLU(self.planes, 3, self.stride, 1)(y, train=train)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False)(y)
-        y = MaskedBatchNorm()(y, train=train)
-        if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = nn.Conv(out_ch, (1, 1),
+        if self.has_down:
+            identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False)(x)
-            identity = MaskedBatchNorm()(identity, train=train)
-        return nn.relu(y + identity)
+                               use_bias=bias, name="down_conv")(x)
+            if self.use_bn:
+                identity = MaskedBatchNorm(epsilon=1e-5, name="down_bn")(
+                    identity, train=train)
+        return nn.relu(identity + out)
 
 
 class PixorBackbone(nn.Module):
-    """Bottleneck stages [3, 6, 6, 3] with top-down lateral fusion; output
-    is 4x downsampled (ref pixor.py BackBone)."""
+    """ref pixor.py:106 BackBone: stem convs, four Bottleneck stages
+    (planes 24/48/64/96 -> 96/192/256/384 ch at /2../16), FPN decode back
+    to /4 x 96 ch. ``encode``/``decode`` split mirrors the reference so the
+    intermediate variant can fuse c3/c4/c5 between them."""
 
-    @nn.compact
+    use_bn: bool = True
+
+    def setup(self):
+        bias = not self.use_bn
+        self.conv1 = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2,
+                             use_bias=False)
+        self.conv2 = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2,
+                             use_bias=False)
+        if self.use_bn:
+            self.bn1 = MaskedBatchNorm(epsilon=1e-5)
+            self.bn2 = MaskedBatchNorm(epsilon=1e-5)
+        blocks = []
+        for planes, n in ((24, 3), (48, 6), (64, 6), (96, 3)):
+            # first block of each stage strides 2 and projects channels
+            # (downsample); the rest are identity-residual
+            blocks.append(
+                [PixorBottleneck(planes, 2, self.use_bn, True)]
+                + [PixorBottleneck(planes, 1, self.use_bn, False)
+                   for _ in range(n - 1)])
+        self.block2, self.block3, self.block4, self.block5 = blocks
+        self.latlayer1 = nn.Conv(196, (1, 1))
+        self.latlayer2 = nn.Conv(128, (1, 1))
+        self.latlayer3 = nn.Conv(96, (1, 1))
+        # exact torch ConvTranspose2d(k3, s2, p1, output_padding=1)
+        self.deconv1 = TorchConvTranspose2d(128)
+        self.deconv2 = TorchConvTranspose2d(96)
+
+    def encode(self, x, train: bool = False):
+        x = self.conv1(x)
+        if self.use_bn:
+            x = self.bn1(x, train=train)
+        x = nn.relu(x)
+        x = self.conv2(x)
+        if self.use_bn:
+            x = self.bn2(x, train=train)
+        c1 = nn.relu(x)
+        c2 = c1
+        for blk in self.block2:
+            c2 = blk(c2, train=train)
+        c3 = c2
+        for blk in self.block3:
+            c3 = blk(c3, train=train)
+        c4 = c3
+        for blk in self.block4:
+            c4 = blk(c4, train=train)
+        c5 = c4
+        for blk in self.block5:
+            c5 = blk(c5, train=train)
+        return c3, c4, c5
+
+    def decode(self, c3, c4, c5):
+        l5 = self.latlayer1(c5)
+        l4 = self.latlayer2(c4)
+        p5 = l4 + self.deconv1(l5)
+        l3 = self.latlayer3(c3)
+        return l3 + self.deconv2(p5)
+
     def __call__(self, x, train: bool = False):
-        x = ConvBNReLU(32, 3, 1, 1)(x, train=train)
-        x = ConvBNReLU(32, 3, 1, 1)(x, train=train)
-
-        def stage(x, planes, blocks, stride):
-            x = Bottleneck(planes, stride)(x, train=train)
-            for _ in range(blocks - 1):
-                x = Bottleneck(planes, 1)(x, train=train)
-            return x
-
-        c1 = stage(x, 24, 3, 2)    # /2
-        c2 = stage(c1, 48, 6, 2)   # /4
-        c3 = stage(c2, 64, 6, 2)   # /8
-        c4 = stage(c3, 96, 3, 2)   # /16
-
-        # top-down: upsample c4 -> c3 -> /4 resolution
-        l3 = nn.Conv(196, (1, 1))(c3)
-        p4 = nn.Conv(196, (1, 1))(c4)
-        p3 = l3 + nn.ConvTranspose(196, (3, 3), strides=(2, 2))(p4)
-        l2 = nn.Conv(128, (1, 1))(c2)
-        p2 = l2 + nn.ConvTranspose(128, (3, 3), strides=(2, 2))(p3)
-        return p2  # (B, H/4, W/4, 128)
+        return self.decode(*self.encode(x, train=train))
 
 
 class PixorHeader(nn.Module):
-    """4 shared convs -> 1-ch cls + 6-ch reg (ref pixor.py Header)."""
+    """ref pixor.py:217 Header: four shared 3x3(96) convs (+BN), then
+    3x3 cls (1 ch) and reg (6 ch) heads."""
+
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for _ in range(4):
-            x = ConvBNReLU(96, 3, 1, 1)(x, train=train)
-        cls = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                      bias_init=nn.initializers.constant(-4.595))(x)
-        reg = nn.Conv(6, (3, 3), padding=[(1, 1), (1, 1)],
-                      kernel_init=nn.initializers.zeros)(x)
+        bias = not self.use_bn
+        for i in range(4):
+            x = nn.Conv(96, (3, 3), padding=[(1, 1)] * 2, use_bias=bias,
+                        name=f"conv{i + 1}")(x)
+            if self.use_bn:
+                x = MaskedBatchNorm(epsilon=1e-5, name=f"bn{i + 1}")(
+                    x, train=train)
+        cls = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2,
+                      bias_init=nn.initializers.constant(-4.595),
+                      name="clshead")(x)
+        reg = nn.Conv(6, (3, 3), padding=[(1, 1)] * 2,
+                      kernel_init=nn.initializers.zeros,
+                      name="reghead")(x)
         return cls, reg
 
 
@@ -97,6 +167,10 @@ class _PixorBase(nn.Module):
     @property
     def spec(self) -> BevSpec:
         return BevSpec.from_config(self.args["geometry_param"])
+
+    @property
+    def use_bn(self) -> bool:
+        return bool(self.args.get("use_bn", True))
 
     def _rasterize(self, batch):
         points, mask = batch["points"], batch["point_mask"]
@@ -114,30 +188,41 @@ class Pixor(_PixorBase):
     @nn.compact
     def __call__(self, batch, train: bool = False):
         bev = self._rasterize(batch)
-        feat = PixorBackbone()(bev, train=train)
-        cls, reg = PixorHeader()(feat, train=train)
+        feat = PixorBackbone(use_bn=self.use_bn, name="backbone")(
+            bev, train=train)
+        cls, reg = PixorHeader(use_bn=self.use_bn, name="header")(
+            feat, train=train)
         return {"cls_map": cls, "reg_map": reg}
 
 
 @register_model("pixor_intermediate")
 class PixorIntermediate(_PixorBase):
-    """PIXOR with single-scale attentive fusion on the 4x features
-    (ref pixor_intermediate.py:38)."""
+    """PIXOR with per-scale parameterless attentive fusion on c3/c4/c5
+    between the backbone's encode and decode (ref pixor_intermediate.py:14
+    BackBoneIntermediate: AttFusion(192/256/384), no warping — the raw
+    points arrive pre-projected into the ego frame)."""
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         b, l = batch["agent_mask"].shape
         bev = self._rasterize(batch)
-        feat = PixorBackbone()(bev, train=train)
-        fh, fw, c = feat.shape[1:]
-        # the reference fuses with no warping (assumes points are already
-        # projected into the ego frame, proj_first-style) — identity affine
-        eye = jnp.tile(
-            jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
-                        dtype=feat.dtype), (b, l, l, 1, 1))
-        fusion = build_fusion(self.args.get("fusion_method", "att"),
-                              self.args, c)
-        fused = fusion(feat.reshape(b, l, fh, fw, c), eye,
-                       batch["agent_mask"], train=train)
-        cls, reg = PixorHeader()(fused, train=train)
+        backbone = PixorBackbone(use_bn=self.use_bn, name="backbone")
+        c3, c4, c5 = backbone.encode(bev, train=train)
+
+        def fuse(feat):
+            fh, fw, c = feat.shape[1:]
+            x = feat.reshape(b, l, fh, fw, c)
+            q = x[:, 0]
+            scores = jnp.einsum("bhwc,blhwc->blhw", q, x) / jnp.sqrt(
+                jnp.asarray(c, feat.dtype))
+            scores = jnp.where(batch["agent_mask"][:, :, None, None],
+                               scores, -jnp.inf)
+            att = jnp.exp(scores - jnp.max(scores, axis=1, keepdims=True))
+            att = jnp.where(batch["agent_mask"][:, :, None, None], att, 0.0)
+            att = att / jnp.maximum(att.sum(1, keepdims=True), 1e-9)
+            return jnp.einsum("blhw,blhwc->bhwc", att, x)
+
+        p4 = backbone.decode(fuse(c3), fuse(c4), fuse(c5))
+        cls, reg = PixorHeader(use_bn=self.use_bn, name="header")(
+            p4, train=train)
         return {"cls_map": cls, "reg_map": reg}

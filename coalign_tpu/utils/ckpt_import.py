@@ -649,6 +649,59 @@ def _map_lss_family(state_dict: dict, out: _Tree):
         _map_one_fusion(fuse, out, "bevencode/fuse")
 
 
+def _map_pixor_family(state_dict: dict, out: _Tree):
+    """PIXOR family (ref pixor.py:256 / pixor_intermediate.py:38):
+    backbone stem + Bottleneck stages + FPN laterals/deconvs, 4-conv
+    header with dense cls/reg heads. Both variants share the key space —
+    the intermediate's AttFusion (self_attn.py:48) is parameterless.
+    Biased conv fields appear exactly when the checkpoint was trained
+    with use_bn: false; they map to the same flax modules."""
+    for key, v in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        m = re.match(
+            r"backbone\.block(\d)\.(\d+)\."
+            r"(conv\d|bn\d|downsample\.[01])\.(\w+)$", key)
+        if m:
+            parts = {"conv1": "conv1", "bn1": "bn1", "conv2": "conv2",
+                     "bn2": "bn2", "conv3": "conv3", "bn3": "bn3",
+                     "downsample.0": "down_conv", "downsample.1": "down_bn"}
+            path = (f"backbone/block{m.group(1)}_{m.group(2)}"
+                    f"/{parts[m.group(3)]}")
+            if m.group(3).startswith("bn") or m.group(3) == "downsample.1":
+                out.bn(path, m.group(4), v)
+            elif m.group(4) == "weight":
+                out.params[f"{path}/kernel"] = _conv(v)
+            else:
+                out.params[f"{path}/bias"] = v
+            continue
+        m = re.match(r"backbone\.(conv[12]|bn[12]|latlayer\d|deconv\d)"
+                     r"\.(\w+)$", key)
+        if m:
+            name, field = m.groups()
+            if name.startswith("bn"):
+                out.bn(f"backbone/{name}", field, v)
+            elif field == "bias":
+                out.params[f"backbone/{name}/bias"] = v
+            elif name.startswith("deconv"):
+                out.params[f"backbone/{name}/kernel"] = _tconv(v)
+            else:
+                out.params[f"backbone/{name}/kernel"] = _conv(v)
+            continue
+        m = re.match(r"header\.(conv\d|bn\d|clshead|reghead)\.(\w+)$", key)
+        if m:
+            name, field = m.groups()
+            if name.startswith("bn"):
+                out.bn(f"header/{name}", field, v)
+            elif field == "weight":
+                out.params[f"header/{name}/kernel"] = _conv(v)
+            else:
+                out.params[f"header/{name}/bias"] = v
+            continue
+        raise KeyError(f"unmapped reference key {key!r} — extend "
+                       "coalign_tpu/utils/ckpt_import.py")
+
+
 _HEAD_RE = re.compile(r"(cls|reg|dir|iou|unc)_head\.(weight|bias)$")
 
 # ref sparse_backbone_3d.py:33 VoxelBackBone8x block order -> flax
@@ -826,6 +879,9 @@ def opencood_to_flax(state_dict: dict, target_variables=None):
         return dict(zip(("params", "batch_stats"), out.finish()))
     if any(k.startswith("camencode.") for k in state_dict):
         _map_lss_family(state_dict, out)
+        return dict(zip(("params", "batch_stats"), out.finish()))
+    if any(k.startswith("header.") for k in state_dict):
+        _map_pixor_family(state_dict, out)
         return dict(zip(("params", "batch_stats"), out.finish()))
     backbone = {}
     fusion = {}

@@ -1315,8 +1315,65 @@ def gen_lss_intermediate():
     _save_lss_fixture("lss_intermediate", model, data_dict, arrays)
 
 
+def gen_pixor():
+    """PIXOR family fixture (ref pixor.py:256 / pixor_intermediate.py:38):
+    random-weight backbone+header traced on a random BEV raster. Also
+    traces the intermediate variant with the SAME state_dict layout (its
+    self_attn AttFusion is parameterless) fused over two agents."""
+    import torch
+
+    from opencood.models.pixor import PIXOR
+    from opencood.models.pixor_intermediate import PIXORIntermediate
+
+    geom = {"input_shape": [48, 48, 8], "label_shape": [12, 12, 7]}
+    rng = np.random.default_rng(88)
+    bev = rng.normal(0, 0.5, (2, 8, 48, 48)).astype(np.float32)
+
+    model = PIXOR({"geometry_param": geom, "use_bn": True})
+    _randomize_fan_in(model, seed=91)
+    model.eval()
+    torch.save(model.state_dict(), os.path.join(HERE, "pixor.pth"))
+    with torch.no_grad():
+        out = model({"processed_lidar": {"bev_input": torch.from_numpy(bev)}})
+    np.savez(os.path.join(HERE, "pixor_io.npz"), bev=bev,
+             cls=out["cls"].numpy(), reg=out["reg"].numpy())
+    print("pixor: cls", tuple(out["cls"].shape))
+
+    # latent reference bug #2: pixor_intermediate.py:30 calls
+    # AttFusion(x, record_len) but self_attn.AttFusion.forward now also
+    # requires pairwise_t_matrix — default it to the identity affine
+    # (identity grid_sample == no warp, which is what the module intended:
+    # pixor points arrive pre-projected in the ego frame)
+    import opencood.models.fuse_modules.self_attn as _sa
+
+    _orig_fwd = _sa.AttFusion.forward
+
+    def _fwd(self, x, record_len, pairwise_t_matrix=None):
+        if pairwise_t_matrix is None:
+            b, mx = len(record_len), int(max(record_len))
+            eye = torch.zeros(b, mx, mx, 2, 3)
+            eye[..., 0, 0] = 1.0
+            eye[..., 1, 1] = 1.0
+            pairwise_t_matrix = eye
+        return _orig_fwd(self, x, record_len, pairwise_t_matrix)
+
+    _sa.AttFusion.forward = _fwd
+
+    inter = PIXORIntermediate({"geometry_param": geom, "use_bn": True})
+    _randomize_fan_in(inter, seed=93)
+    inter.eval()
+    torch.save(inter.state_dict(), os.path.join(HERE, "pixor_inter.pth"))
+    with torch.no_grad():
+        out = inter({"processed_lidar": {"bev_input": torch.from_numpy(bev)},
+                     "record_len": torch.tensor([2])})
+    np.savez(os.path.join(HERE, "pixor_inter_io.npz"), bev=bev,
+             cls=out["cls"].numpy(), reg=out["reg"].numpy())
+    print("pixor_inter: cls", tuple(out["cls"].shape))
+
+
 GENERATORS = {
     "e2e_ap": gen_e2e_ap,
+    "pixor": gen_pixor,
     "lss_efficientnet": lambda: gen_lss("EfficientNet"),
     "lss_resnet101": lambda: gen_lss("Resnet101"),
     "lss_intermediate": gen_lss_intermediate,
