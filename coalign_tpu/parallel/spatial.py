@@ -40,22 +40,94 @@ def halo_exchange(x, halo: int, axis_name: str):
     return jnp.concatenate([left_halo, x, right_halo], axis=-2)
 
 
-def sharded_conv2d(x, kernel, axis_name: str):
-    """W-sharded stride-1 NHWC conv with SAME padding semantics across
-    shards.
+def sharded_conv2d(x, kernel, axis_name: str, stride: int = 1):
+    """W-sharded NHWC conv with torch-style symmetric padding semantics
+    across shards, any stride.
 
     x: (B, H, W_local, Cin) inside shard_map; kernel (kh, kw, Cin, Cout).
-    Halo width = kw // 2 columns; the H axis stays local (SAME padding).
-    Only stride 1 is supported: a strided conv's output phase would depend
-    on each shard's global column offset, which this halo scheme does not
-    model.
+
+    Strided phase correctness: with global padding p = kw//2, output col j
+    reads inputs [j*s - p, j*s - p + kw - 1]. Requiring W_local % s == 0
+    puts every shard's first output at a global input offset that is a
+    multiple of s, so after exchanging kw//2 halo columns each shard's
+    VALID-W strided conv produces exactly its W_local/s slice of the
+    global output — no shard-offset-dependent phase left (this is the
+    stride-2 generalization round 2 scoped out). The H axis stays local
+    with the same torch padding.
     """
     kh, kw = kernel.shape[:2]
+    if stride > 1 and x.shape[-2] % stride:
+        raise ValueError(
+            f"W_local {x.shape[-2]} not divisible by stride {stride}")
     x = halo_exchange(x, kw // 2, axis_name)
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1),
+        x, kernel, window_strides=(stride, stride),
         padding=((kh // 2, kh // 2), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def spatial_resnet_encode_fn(variables, layer_nums, layer_strides,
+                             mesh: Mesh, axis: str = "space",
+                             eps: float = 1e-5):
+    """W-shard the FLAGSHIP backbone's encode over the mesh.
+
+    Takes the real model ``variables`` (params + batch_stats) of a
+    ``point_pillar_baseline_multiscale``-family model, folds eval-mode
+    BatchNorm into per-channel scale/bias, and returns ``(fn, shard)``
+    where ``fn(x)`` runs the full ResNetTrunk stack — including the
+    stride-2 stage entries and their 1x1 downsample projections — as
+    local convs + halo exchanges, returning the per-scale feature tuple
+    exactly like ``model.backbone.encode`` (models/backbones.py:49).
+    """
+    params = variables["params"]["backbone"]["trunk"]
+    stats = variables["batch_stats"]["backbone"]["trunk"]
+
+    def fold(bp, bs, i):
+        inv = bp[f"MaskedBatchNorm_{i}"]["scale"] / jnp.sqrt(
+            bs[f"MaskedBatchNorm_{i}"]["var"] + eps)
+        return inv, (bp[f"MaskedBatchNorm_{i}"]["bias"]
+                     - bs[f"MaskedBatchNorm_{i}"]["mean"] * inv)
+
+    blocks, stage_ends = [], []
+    idx = 0
+    for n, stride in zip(layer_nums, layer_strides):
+        for j in range(n):
+            bp, bs = params[f"BasicBlock_{idx}"], stats[f"BasicBlock_{idx}"]
+            blk = {"stride": stride if j == 0 else 1,
+                   "k0": bp["Conv_0"]["kernel"], "bn0": fold(bp, bs, 0),
+                   "k1": bp["Conv_1"]["kernel"], "bn1": fold(bp, bs, 1)}
+            if "Conv_2" in bp:
+                blk["k2"] = bp["Conv_2"]["kernel"]
+                blk["bn2"] = fold(bp, bs, 2)
+            blocks.append(blk)
+            idx += 1
+        stage_ends.append(idx)
+
+    strides = [b.pop("stride") for b in blocks]  # static, not traced
+
+    def local(x, blks):
+        outs = []
+        for i, (blk, s) in enumerate(zip(blks, strides)):
+            out = sharded_conv2d(x, blk["k0"], axis, s)
+            out = jax.nn.relu(out * blk["bn0"][0] + blk["bn0"][1])
+            out = sharded_conv2d(out, blk["k1"], axis, 1)
+            out = out * blk["bn1"][0] + blk["bn1"][1]
+            if "k2" in blk:
+                idt = sharded_conv2d(x, blk["k2"], axis, s)
+                idt = idt * blk["bn2"][0] + blk["bn2"][1]
+            else:
+                idt = x
+            x = jax.nn.relu(out + idt)
+            if i + 1 in stage_ends:
+                outs.append(x)
+        return tuple(outs)
+
+    spec = P(None, None, axis, None)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, P()),
+        out_specs=tuple(spec for _ in stage_ends)))
+    shard = NamedSharding(mesh, spec)
+    return (lambda x: fn(jax.device_put(x, shard), blocks)), shard
 
 
 def make_spatial_conv_fn(kernels, mesh: Mesh, axis: str = "space"):
