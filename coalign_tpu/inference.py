@@ -192,7 +192,7 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
              batch_size: int = 1, max_frames: int | None = None,
              fusion_method: str = "intermediate", npy_dir: str = None,
              vis_dir: str = None, vis_interval: int = 40,
-             lidar_range=None, batch_hook=None):
+             lidar_range=None, batch_hook=None, left_hand: bool = False):
     """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts).
 
     fusion_method dispatch mirrors ref tools/inference.py:40-227:
@@ -250,7 +250,7 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
             visualize(dets["corners3d"][0][dets["mask"][0]], gtc, pts,
                       lidar_range or postprocess_cfg["gt_range"],
                       os.path.join(vis_dir, f"bev_{bidx:05d}.png"),
-                      method="bev")
+                      method="bev", left_hand=left_hand)
         for bi in range(batch["gt_boxes"].shape[0]):
             keep = dets["mask"][bi]
             det_corners = dets["corners3d"][bi][keep]

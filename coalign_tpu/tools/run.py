@@ -220,6 +220,15 @@ def _load_model_dir(opt, params_hook=None):
     return params, base, batcher, model, spec, state
 
 
+def _left_hand(params: dict) -> bool:
+    """CARLA-derived datasets (OPV2V/V2XSet) are left-hand coordinate, so
+    saved renders flip y (ref tools/inference.py:80 keys on the test_dir
+    path; DAIR-V2X / V2X-Sim stay right-hand)."""
+    dirs = " ".join(str(params.get(k, "")) for k in
+                    ("validate_dir", "root_dir", "test_dir"))
+    return ("OPV2V" in dirs.upper()) or ("V2XSET" in dirs.upper())
+
+
 def _box_align_hook(params: dict):
     """Offline CoAlign pass 2 for eval: when the config's ``box_align``
     block points at an existing precalc ``stage1_boxes.json`` (ref
@@ -280,7 +289,8 @@ def cmd_inference(opt):
                        max_frames=opt.eval_frames,
                        npy_dir=npy_dir, vis_dir=vis_dir,
                        vis_interval=getattr(opt, "save_vis_interval", 40),
-                       batch_hook=_box_align_hook(params))
+                       batch_hook=_box_align_hook(params),
+                       left_hand=_left_hand(params))
     print(json.dumps({"eval": res}))
     from coalign_tpu.config.yaml_utils import save_yaml
     save_yaml(res, os.path.join(

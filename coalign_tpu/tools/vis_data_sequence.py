@@ -24,7 +24,7 @@ from coalign_tpu.utils import box_utils as B
 
 
 def render_frame(batch: dict, lidar_range, save_path: str,
-                 method: str = "bev") -> None:
+                 method: str = "bev", left_hand: bool = False) -> None:
     """One assembled batch (B=1) -> PNG: all agents' points projected to
     the ego frame + gt boxes (ref vis_data_sequence_opv2v.py drives the
     late-fusion dataset the same way)."""
@@ -51,7 +51,7 @@ def render_frame(batch: dict, lidar_range, save_path: str,
     gt_corners = (np.asarray(B.boxes_to_corners_3d(gt, "hwl"))
                   if len(gt) else None)
     visualize(None, gt_corners, points, lidar_range, save_path,
-              method=method)
+              method=method, left_hand=left_hand)
 
 
 def main(argv=None):
@@ -64,6 +64,7 @@ def main(argv=None):
 
     from coalign_tpu.config.yaml_utils import load_yaml
     from coalign_tpu.data import build_dataset
+    from coalign_tpu.tools.run import _left_hand
 
     params = load_yaml(opt.hypes_yaml)
     # the viewer wants every agent's raw points: intermediate batching
@@ -79,7 +80,8 @@ def main(argv=None):
     for i in range(n):
         batch = batcher.assemble([base[i]])
         path = os.path.join(opt.out, f"frame_{i:05d}_{opt.method}.png")
-        render_frame(batch, lidar_range, path, method=opt.method)
+        render_frame(batch, lidar_range, path, method=opt.method,
+                     left_hand=_left_hand(params))
         written.append(path)
     print(f"wrote {len(written)} frames to {opt.out}")
     return written

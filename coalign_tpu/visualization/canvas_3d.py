@@ -18,9 +18,11 @@ BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0),
 class Canvas3D:
     def __init__(self, canvas_shape=(600, 800), camera_xyz=(-20, 0, 12),
                  camera_pitch_deg=-20.0, focal=600.0,
-                 background=(255, 255, 255)):
+                 background=(255, 255, 255), left_hand=False):
         self.h, self.w = canvas_shape
         self.focal = focal
+        # ref canvas_3d.py:103: left-hand (CARLA) data flips y pre-project
+        self.left_hand = left_hand
         self.canvas = np.full((self.h, self.w, 3),
                               np.asarray(background, np.uint8),
                               dtype=np.uint8)
@@ -35,6 +37,8 @@ class Canvas3D:
 
     def project(self, pts):
         """(N, 3) lidar-frame -> (rows, cols, valid)."""
+        if self.left_hand:
+            pts = pts * np.asarray([1.0, -1.0, 1.0])
         cam = pts @ self.rot.T + self.t
         z = cam[:, 2]
         valid = z > 0.5

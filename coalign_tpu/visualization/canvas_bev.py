@@ -17,15 +17,18 @@ class CanvasBEV:
 
     canvas_shape: (H, W) pixels; xy range in meters maps x (forward) to
     image columns, y (left) to rows — heading right like the reference's
-    inference renderer.
+    inference renderer. ``left_hand`` negates y before rasterizing (ref
+    canvas_bev.py:77): CARLA-derived datasets (OPV2V/V2XSet) are
+    left-hand coordinate, so their renders must flip to read like KITTI.
     """
 
     def __init__(self, canvas_shape=(800, 2800),
                  canvas_x_range=(-140.8, 140.8), canvas_y_range=(-40, 40),
-                 background=(255, 255, 255)):
+                 background=(255, 255, 255), left_hand=False):
         self.h, self.w = canvas_shape
         self.x_range = canvas_x_range
         self.y_range = canvas_y_range
+        self.left_hand = left_hand
         self.canvas = np.full((self.h, self.w, 3),
                               np.asarray(background, np.uint8),
                               dtype=np.uint8)
@@ -33,6 +36,8 @@ class CanvasBEV:
     def get_canvas_coords(self, xy):
         """Metric (N, 2+) -> (rows, cols, valid_mask)."""
         xy = np.asarray(xy)
+        if self.left_hand:
+            xy = np.concatenate([xy[:, :1], -xy[:, 1:2]], axis=1)
         cols = ((xy[:, 0] - self.x_range[0])
                 / (self.x_range[1] - self.x_range[0]) * self.w)
         rows = ((xy[:, 1] - self.y_range[0])

@@ -16,8 +16,12 @@ PRED_COLOR = (220, 30, 30)
 
 
 def visualize(pred_corners, gt_corners, points, lidar_range, save_path,
-              method: str = "bev"):
-    """pred_corners/gt_corners: (N, 8, 3) (may be empty); points (P, 3+)."""
+              method: str = "bev", left_hand: bool = False):
+    """pred_corners/gt_corners: (N, 8, 3) (may be empty); points (P, 3+).
+
+    left_hand flips y (ref tools/inference.py:80: OPV2V/V2XSet are CARLA
+    left-hand coordinate; their renders mirror without it).
+    """
     points = np.asarray(points)
     if method == "bev":
         canvas = CanvasBEV(
@@ -25,9 +29,10 @@ def visualize(pred_corners, gt_corners, points, lidar_range, save_path,
                 int((lidar_range[4] - lidar_range[1]) * 10),
                 int((lidar_range[3] - lidar_range[0]) * 10)),
             canvas_x_range=(lidar_range[0], lidar_range[3]),
-            canvas_y_range=(lidar_range[1], lidar_range[4]))
+            canvas_y_range=(lidar_range[1], lidar_range[4]),
+            left_hand=left_hand)
     elif method == "3d":
-        canvas = Canvas3D()
+        canvas = Canvas3D(left_hand=left_hand)
     else:
         raise ValueError(f"unknown vis method {method!r}")
 

@@ -23,6 +23,31 @@ def test_canvas_bev_draws(tmp_path):
     assert (img == [0, 200, 0]).all(-1).sum() > 10  # box outline present
 
 
+def test_canvas_bev_left_hand_flips_y(tmp_path):
+    """left_hand=True mirrors y before rasterizing (ref canvas_bev.py:77:
+    CARLA datasets are left-hand coordinate): a point at +y lands where
+    the right-hand canvas puts -y."""
+    rh = CanvasBEV(canvas_shape=(200, 400), canvas_x_range=(-40, 40),
+                   canvas_y_range=(-20, 20))
+    lh = CanvasBEV(canvas_shape=(200, 400), canvas_x_range=(-40, 40),
+                   canvas_y_range=(-20, 20), left_hand=True)
+    pt = np.array([[10.0, 5.0]])
+    r_rh, c_rh, _ = rh.get_canvas_coords(pt)
+    r_lh, c_lh, _ = lh.get_canvas_coords(pt)
+    r_neg, c_neg, _ = rh.get_canvas_coords(np.array([[10.0, -5.0]]))
+    assert c_rh[0] == c_lh[0] == c_neg[0]
+    assert r_lh[0] == r_neg[0] != r_rh[0]
+
+    # 3D canvas: the flip happens pre-projection
+    c3_rh = Canvas3D(canvas_shape=(120, 160))
+    c3_lh = Canvas3D(canvas_shape=(120, 160), left_hand=True)
+    p = np.array([[8.0, 3.0, 0.0]])
+    _, col_rh, _ = c3_rh.project(p)
+    _, col_lh, _ = c3_lh.project(p)
+    _, col_neg, _ = c3_rh.project(p * [1, -1, 1])
+    assert col_lh[0] == col_neg[0] != col_rh[0]
+
+
 def test_canvas_3d_and_visualize(tmp_path):
     c = Canvas3D(canvas_shape=(120, 160))
     pts = np.array([[5.0, 0.0, 0.0], [10.0, 2.0, 0.5], [-50.0, 0.0, 0.0]])
