@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import yaml
@@ -47,6 +48,26 @@ def read_pcd(path: str):
     return _read_pcd_np(path)
 
 
+# libyaml C loader when available: per-frame cav yamls are the data
+# plane's hot parse (pure-python scanner measured ~60 ms/frame at L=5);
+# resolver extended like config/yaml_utils._Loader so dot-less floats
+# (1e-10) still parse as floats.
+try:
+    _CavLoader = type("_CavLoader", (yaml.CSafeLoader,), {})
+except AttributeError:  # pragma: no cover - no libyaml in env
+    _CavLoader = type("_CavLoader", (yaml.SafeLoader,), {})
+_CavLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""", re.X),
+    list("-+0123456789."))
+
+
 def _load_params(path: str) -> dict:
     """yaml params with the json fast path (ref opv2v_basedataset.py:202)."""
     json_path = path[:-5] + ".json"
@@ -54,7 +75,29 @@ def _load_params(path: str) -> dict:
         with open(json_path) as f:
             return json.load(f)
     with open(path) as f:
-        return yaml.safe_load(f)
+        return yaml.load(f, Loader=_CavLoader)
+
+
+def precache_json(root_dir: str) -> int:
+    """Write ``<ts>.json`` next to every cav ``<ts>.yaml`` under an OPV2V
+    root so _load_params takes its json fast path (the reference ships its
+    datasets with the same side-files; json.load measures ~10x the libyaml
+    rate on cav params). Returns the number of files written."""
+    n = 0
+    for dirpath, _, files in os.walk(root_dir):
+        for name in files:
+            if not name.endswith(".yaml"):
+                continue
+            path = os.path.join(dirpath, name)
+            json_path = path[:-5] + ".json"
+            if os.path.exists(json_path):
+                continue
+            with open(path) as f:
+                params = yaml.load(f, Loader=_CavLoader)
+            with open(json_path, "w") as f:
+                json.dump(params, f)
+            n += 1
+    return n
 
 
 def vehicles_to_world_boxes(vehicles: dict):

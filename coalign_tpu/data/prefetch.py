@@ -14,8 +14,68 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 _SENTINEL = object()
+
+
+def _place(item, to_device, mesh, axis):
+    if not to_device or not isinstance(item, dict):
+        return item
+    import jax
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec(axis))
+    return {k: jax.device_put(v, sharding) for k, v in item.items()}
+
+
+def prefetch_batches(batcher, dataset, batch_size: int, *, workers: int = 4,
+                     size: int = 4, to_device: bool = True, mesh=None,
+                     axis: str = "data", shuffle: bool = True,
+                     drop_last: bool = True):
+    """Assemble batches in a ``workers``-thread pool, yielding in order.
+
+    The multi-worker counterpart of ``prefetch(batcher.batches(...))`` —
+    the reference gets the same effect from 4 DataLoader worker processes
+    (ref tools/train.py:42). Threads suffice here because the per-frame
+    work is numpy, ctypes (C++ PCD parse) and libyaml, all of which
+    release or mostly avoid the GIL; ``size`` batches are kept in flight.
+    """
+    import numpy as np
+
+    idx = np.arange(len(dataset))
+    if shuffle:
+        batcher.rng.shuffle(idx)
+    chunks = [idx[s:s + batch_size] for s in range(0, len(idx), batch_size)]
+    if drop_last:
+        chunks = [c for c in chunks if len(c) == batch_size]
+    use_train = getattr(batcher, "train", False) and hasattr(
+        batcher, "assemble_train")
+
+    def make(chunk):
+        frames = [dataset[i] for i in chunk]
+        batch = (batcher.assemble_train(frames) if use_train
+                 else batcher.assemble(frames))
+        return _place(batch, to_device, mesh, axis)
+
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        inflight: list = []
+        it = iter(chunks)
+        try:
+            for chunk in it:
+                inflight.append(pool.submit(make, chunk))
+                if len(inflight) >= max(1, size):
+                    break
+            while inflight:
+                out = inflight.pop(0).result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(pool.submit(make, nxt))
+                yield out
+        finally:
+            for f in inflight:
+                f.cancel()
 
 
 def prefetch(iterator, size: int = 2, *, to_device: bool = True,
@@ -31,14 +91,7 @@ def prefetch(iterator, size: int = 2, *, to_device: bool = True,
     errors: list[BaseException] = []
 
     def place(item):
-        if not to_device or not isinstance(item, dict):
-            return item
-        import jax
-        sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            sharding = NamedSharding(mesh, PartitionSpec(axis))
-        return {k: jax.device_put(v, sharding) for k, v in item.items()}
+        return _place(item, to_device, mesh, axis)
 
     stop = threading.Event()
 

@@ -1,7 +1,9 @@
 """3D box utilities: center <-> corner, projection, range masks, encode/decode.
 
-TPU-first rework of opencood/utils/box_utils.py — pure jnp, fixed shapes,
+TPU-first rework of opencood/utils/box_utils.py — pure, fixed shapes,
 mask-friendly (invalid boxes are carried through and masked by the caller).
+DUAL-DISPATCH (utils/common.array_namespace): numpy in -> numpy compute
+(host data plane, no device round-trips), jax arrays/tracers -> jnp.
 
 Box order conventions follow the reference:
   * 'hwl' (PointPillars family): box = [x, y, z, h, w, l, yaw]
@@ -11,24 +13,26 @@ yaw is radians around +z. (x, y, z) is the box center.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
-from coalign_tpu.utils.common import rotate_points_along_z
+from coalign_tpu.utils.common import array_namespace, rotate_points_along_z
 from coalign_tpu.utils.transforms import project_points
 
 # Corner template (ref box_utils.py:193-196): bottom face 0-3, top face 4-7.
-_CORNER_TEMPLATE = jnp.array(
+# Kept as a NUMPY constant: np * np stays np, jnp * np promotes to jnp.
+_CORNER_TEMPLATE = np.array(
     [
         [1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
         [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 ) / 2.0
 
 
 def boxes_to_corners_3d(boxes3d, order: str = "hwl"):
     """(N, 7) boxes -> (N, 8, 3) corners. Ref box_utils.py:152."""
-    boxes3d = jnp.asarray(boxes3d)
+    xp = array_namespace(boxes3d)
+    boxes3d = xp.asarray(boxes3d)
     if order == "hwl":
         boxes3d = boxes3d[..., [0, 1, 2, 5, 4, 3, 6]]  # -> lwh
     else:
@@ -53,38 +57,40 @@ def corners_to_standup_2d(corners):
 
     Ref box_utils.py corner2d_to_standup_box / corner_to_standup_box_torch.
     """
-    corners = jnp.asarray(corners)
+    xp = array_namespace(corners)
+    corners = xp.asarray(corners)
     x = corners[..., 0]
     y = corners[..., 1]
-    return jnp.stack(
+    return xp.stack(
         [x.min(axis=-1), y.min(axis=-1), x.max(axis=-1), y.max(axis=-1)],
         axis=-1)
 
 
 def corner_to_center(corner3d, order: str = "hwl"):
     """(N, 8, 3) corners -> (N, 7) boxes. Ref box_utils.py:25 corner_to_center."""
-    corner3d = jnp.asarray(corner3d)
-    xyz = jnp.mean(corner3d[..., [0, 3, 5, 6], :], axis=-2)
-    h = jnp.abs(jnp.mean(corner3d[..., 4:, 2] - corner3d[..., :4, 2], axis=-1))
+    xp = array_namespace(corner3d)
+    corner3d = xp.asarray(corner3d)
+    xyz = xp.mean(corner3d[..., [0, 3, 5, 6], :], axis=-2)
+    h = xp.abs(xp.mean(corner3d[..., 4:, 2] - corner3d[..., :4, 2], axis=-1))
 
     def _edge(a, b):
         d = corner3d[..., a, :2] - corner3d[..., b, :2]
-        return jnp.sqrt(jnp.sum(d * d, axis=-1))
+        return xp.sqrt(xp.sum(d * d, axis=-1))
 
     l = (_edge(0, 3) + _edge(2, 1) + _edge(4, 7) + _edge(5, 6)) / 4.0
     w = (_edge(0, 1) + _edge(2, 3) + _edge(4, 5) + _edge(6, 7)) / 4.0
 
     def _theta(a, b):
         d = corner3d[..., a, :] - corner3d[..., b, :]
-        return jnp.arctan2(d[..., 1], d[..., 0])
+        return xp.arctan2(d[..., 1], d[..., 0])
 
     theta = (_theta(1, 2) + _theta(0, 3) + _theta(5, 6) + _theta(4, 7)) / 4.0
 
     if order == "hwl":
-        return jnp.stack(
+        return xp.stack(
             [xyz[..., 0], xyz[..., 1], xyz[..., 2], h, w, l, theta], axis=-1)
     assert order == "lwh"
-    return jnp.stack(
+    return xp.stack(
         [xyz[..., 0], xyz[..., 1], xyz[..., 2], l, w, h, theta], axis=-1)
 
 
@@ -112,12 +118,13 @@ def mask_boxes_outside_range(boxes7, limit_range, order: str = "hwl"):
 
 def mask_corners_outside_range(corners, limit_range):
     """(N, 8, 3) corner boxes -> bool (N,) any-corner-in-xy-range mask."""
-    corners = jnp.asarray(corners)
+    xp = array_namespace(corners)
+    corners = xp.asarray(corners)
     inside = (
         (corners[..., 0] >= limit_range[0]) & (corners[..., 0] <= limit_range[3])
         & (corners[..., 1] >= limit_range[1]) & (corners[..., 1] <= limit_range[4])
     )
-    return jnp.any(inside, axis=-1)
+    return xp.any(inside, axis=-1)
 
 
 def mask_corners_all_inside_range(corners, limit_range, min_num_corners=8):
@@ -129,11 +136,12 @@ def mask_corners_all_inside_range(corners, limit_range, min_num_corners=8):
     reference applies to BOTH final predictions (voxel_postprocessor.py:393,
     AFTER NMS) and fused gt boxes (base_postprocessor.py:101).
     """
-    corners = jnp.asarray(corners)
-    lo = jnp.asarray(limit_range[0:3], corners.dtype)
-    hi = jnp.asarray(limit_range[3:6], corners.dtype)
-    inside = jnp.all((corners >= lo) & (corners <= hi), axis=-1)  # (N, 8)
-    return jnp.sum(inside, axis=-1) >= min_num_corners
+    xp = array_namespace(corners)
+    corners = xp.asarray(corners)
+    lo = xp.asarray(limit_range[0:3], dtype=corners.dtype)
+    hi = xp.asarray(limit_range[3:6], dtype=corners.dtype)
+    inside = xp.all((corners >= lo) & (corners <= hi), axis=-1)  # (N, 8)
+    return xp.sum(inside, axis=-1) >= min_num_corners
 
 
 def remove_large_pred_bbx(corners3d, max_extent=6.0):
@@ -147,24 +155,27 @@ def remove_large_pred_bbx(corners3d, max_extent=6.0):
 
     corners3d: (N, 8, 3) -> bool (N,).
     """
-    corners3d = jnp.asarray(corners3d)
-    x_len = (jnp.max(corners3d[..., 0], axis=-1)
-             - jnp.min(corners3d[..., 0], axis=-1))
-    y_len = (jnp.max(corners3d[..., 1], axis=-1)
-             - jnp.min(corners3d[..., 1], axis=-1))
+    xp = array_namespace(corners3d)
+    corners3d = xp.asarray(corners3d)
+    x_len = (xp.max(corners3d[..., 0], axis=-1)
+             - xp.min(corners3d[..., 0], axis=-1))
+    y_len = (xp.max(corners3d[..., 1], axis=-1)
+             - xp.min(corners3d[..., 1], axis=-1))
     return (x_len <= max_extent) & (y_len <= max_extent) & (y_len != 0.0)
 
 
 def remove_bbx_abnormal_z(corners3d, min_z=-3.0, max_z=1.0):
     """Mask boxes with ALL corner z inside [min_z, max_z] (ref
     box_utils.py:872: bbx_z_min >= -3 and bbx_z_max <= 1)."""
-    z = jnp.asarray(corners3d)[..., 2]
-    return (jnp.min(z, axis=-1) >= min_z) & (jnp.max(z, axis=-1) <= max_z)
+    xp = array_namespace(corners3d)
+    z = xp.asarray(corners3d)[..., 2]
+    return (xp.min(z, axis=-1) >= min_z) & (xp.max(z, axis=-1) <= max_z)
 
 
 def mask_points_by_range(points, limit_range):
     """bool (N,) mask of points inside [x1,y1,z1,x2,y2,z2]."""
-    points = jnp.asarray(points)
+    xp = array_namespace(points)
+    points = xp.asarray(points)
     return (
         (points[..., 0] >= limit_range[0]) & (points[..., 0] <= limit_range[3])
         & (points[..., 1] >= limit_range[1]) & (points[..., 1] <= limit_range[4])

@@ -1,9 +1,24 @@
-"""Small shared numeric helpers (ref: opencood/utils/common_utils.py)."""
+"""Small shared numeric helpers (ref: opencood/utils/common_utils.py).
+
+Geometry helpers here and in transforms.py/box_utils.py are DUAL-DISPATCH:
+numpy inputs compute in numpy (host data plane — dispatching tiny jnp ops
+from dataloader threads round-trips the remote TPU at ~0.2 s/op on the
+axon stack), jax arrays/tracers compute in jnp (jit paths unchanged).
+"""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def array_namespace(*arrays):
+    """numpy for host data (numpy/list inputs), jnp for jax arrays/tracers."""
+    for a in arrays:
+        if isinstance(a, (jax.Array, jax.core.Tracer)):
+            return jnp
+    return np
 
 
 def limit_period(val, offset: float = 0.5, period: float = 2 * np.pi):
@@ -12,7 +27,7 @@ def limit_period(val, offset: float = 0.5, period: float = 2 * np.pi):
     Matches opencood/utils/common_utils.py:70 (limit_period).
     Works on jnp or np arrays.
     """
-    xp = jnp if isinstance(val, jnp.ndarray) else np
+    xp = array_namespace(val)
     return val - xp.floor(val / period + offset) * period
 
 
@@ -24,15 +39,16 @@ def rotate_points_along_z(points, angle):
 
     Matches opencood/utils/common_utils.py:105 (rotate_points_along_z).
     """
-    points = jnp.asarray(points)
-    angle = jnp.asarray(angle)
-    cosa = jnp.cos(angle)[..., None]
-    sina = jnp.sin(angle)[..., None]
+    xp = array_namespace(points, angle)
+    points = xp.asarray(points)
+    angle = xp.asarray(angle)
+    cosa = xp.cos(angle)[..., None]
+    sina = xp.sin(angle)[..., None]
     x = points[..., :, 0]
     y = points[..., :, 1]
     # elementwise rotation (full f32 on TPU — a matmul here would run at the
     # default bf16 MXU precision and corrupt metric coordinates)
     new_x = x * cosa - y * sina
     new_y = x * sina + y * cosa
-    xyz = jnp.stack([new_x, new_y, points[..., :, 2]], axis=-1)
-    return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
+    xyz = xp.stack([new_x, new_y, points[..., :, 2]], axis=-1)
+    return xp.concatenate([xyz, points[..., 3:]], axis=-1)

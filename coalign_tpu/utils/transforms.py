@@ -4,6 +4,13 @@ TPU-first rework of opencood/utils/transformation_utils.py. All functions are
 pure, fixed-shape, vmap/jit friendly and operate on padded agent tensors
 ``(..., L, ...)`` instead of python lists keyed by cav id.
 
+DUAL-DISPATCH (utils/common.array_namespace): numpy inputs compute in pure
+numpy — the host data plane (readers/batchers) calls these per frame, and
+dispatching tiny jnp ops from dataloader threads round-trips the remote TPU
+at ~0.2 s/op on the axon stack. jax arrays/tracers compute in jnp with
+Precision.HIGHEST matmuls (TPU default bf16 matmul is catastrophic for
+metric world coordinates).
+
 Conventions (identical to the reference so that reference configs/datasets
 drive this stack unchanged):
   * A 6-DoF pose is ``[x, y, z, roll, yaw, pitch]`` in degrees, CARLA axes
@@ -15,15 +22,21 @@ drive this stack unchanged):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from coalign_tpu.utils.common import array_namespace
 
 # Geometry matmuls must stay full f32: TPU default matmul precision is bf16,
 # which is catastrophic for metric world coordinates (100s of meters).
 _HI = jax.lax.Precision.HIGHEST
-_matmul = functools.partial(jnp.matmul, precision=_HI)
+
+
+def _matmul(xp, a, b):
+    if xp is np:
+        return np.matmul(a, b)
+    return jnp.matmul(a, b, precision=_HI)
 
 
 def pose_to_tfm(pose):
@@ -35,44 +48,43 @@ def pose_to_tfm(pose):
     Matches ref transformation_utils.py:93 (pose_to_tfm) / :263 (x_to_world):
     R = Rz(yaw) @ Ry(pitch') @ Rx(roll') with CARLA's sign conventions.
     """
-    pose = jnp.asarray(pose)
+    xp = array_namespace(pose)
+    pose = xp.asarray(pose)
     dof = pose.shape[-1]
-    batch_shape = pose.shape[:-1]
 
     if dof == 3:
-        x, y, yaw = pose[..., 0], pose[..., 1], jnp.deg2rad(pose[..., 2])
-        c, s = jnp.cos(yaw), jnp.sin(yaw)
-        zero = jnp.zeros_like(x)
-        one = jnp.ones_like(x)
+        x, y, yaw = pose[..., 0], pose[..., 1], xp.deg2rad(pose[..., 2])
+        c, s = xp.cos(yaw), xp.sin(yaw)
+        zero = xp.zeros_like(x)
+        one = xp.ones_like(x)
         rows = [
-            jnp.stack([c, -s, zero, x], axis=-1),
-            jnp.stack([s, c, zero, y], axis=-1),
-            jnp.stack([zero, zero, one, zero], axis=-1),
-            jnp.stack([zero, zero, zero, one], axis=-1),
+            xp.stack([c, -s, zero, x], axis=-1),
+            xp.stack([s, c, zero, y], axis=-1),
+            xp.stack([zero, zero, one, zero], axis=-1),
+            xp.stack([zero, zero, zero, one], axis=-1),
         ]
-        return jnp.stack(rows, axis=-2)
+        return xp.stack(rows, axis=-2)
 
     assert dof == 6, f"pose must be (...,3) or (...,6), got {pose.shape}"
     x, y, z = pose[..., 0], pose[..., 1], pose[..., 2]
-    roll = jnp.deg2rad(pose[..., 3])
-    yaw = jnp.deg2rad(pose[..., 4])
-    pitch = jnp.deg2rad(pose[..., 5])
-    c_y, s_y = jnp.cos(yaw), jnp.sin(yaw)
-    c_r, s_r = jnp.cos(roll), jnp.sin(roll)
-    c_p, s_p = jnp.cos(pitch), jnp.sin(pitch)
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
+    roll = xp.deg2rad(pose[..., 3])
+    yaw = xp.deg2rad(pose[..., 4])
+    pitch = xp.deg2rad(pose[..., 5])
+    c_y, s_y = xp.cos(yaw), xp.sin(yaw)
+    c_r, s_r = xp.cos(roll), xp.sin(roll)
+    c_p, s_p = xp.cos(pitch), xp.sin(pitch)
+    zero = xp.zeros_like(x)
+    one = xp.ones_like(x)
     # CARLA rotation composition (ref x_to_world, transformation_utils.py:288-304)
     rows = [
-        jnp.stack([c_p * c_y, c_y * s_p * s_r - s_y * c_r,
-                   -c_y * s_p * c_r - s_y * s_r, x], axis=-1),
-        jnp.stack([s_y * c_p, s_y * s_p * s_r + c_y * c_r,
-                   -s_y * s_p * c_r + c_y * s_r, y], axis=-1),
-        jnp.stack([s_p, -c_p * s_r, c_p * c_r, z], axis=-1),
-        jnp.stack([zero, zero, zero, one], axis=-1),
+        xp.stack([c_p * c_y, c_y * s_p * s_r - s_y * c_r,
+                  -c_y * s_p * c_r - s_y * s_r, x], axis=-1),
+        xp.stack([s_y * c_p, s_y * s_p * s_r + c_y * c_r,
+                  -s_y * s_p * c_r + c_y * s_r, y], axis=-1),
+        xp.stack([s_p, -c_p * s_r, c_p * c_r, z], axis=-1),
+        xp.stack([zero, zero, zero, one], axis=-1),
     ]
-    del batch_shape
-    return jnp.stack(rows, axis=-2)
+    return xp.stack(rows, axis=-2)
 
 
 def tfm_to_pose(tfm):
@@ -81,33 +93,37 @@ def tfm_to_pose(tfm):
     Inverse of :func:`pose_to_tfm` (ref transformation_utils.py:166/223).
     tfm: (..., 4, 4) -> (..., 6).
     """
-    tfm = jnp.asarray(tfm)
-    yaw = jnp.rad2deg(jnp.arctan2(tfm[..., 1, 0], tfm[..., 0, 0]))
-    roll = jnp.rad2deg(jnp.arctan2(-tfm[..., 2, 1], tfm[..., 2, 2]))
-    pitch = jnp.rad2deg(
-        jnp.arctan2(tfm[..., 2, 0],
-                    jnp.sqrt(tfm[..., 2, 1] ** 2 + tfm[..., 2, 2] ** 2)))
-    return jnp.stack(
+    xp = array_namespace(tfm)
+    tfm = xp.asarray(tfm)
+    yaw = xp.rad2deg(xp.arctan2(tfm[..., 1, 0], tfm[..., 0, 0]))
+    roll = xp.rad2deg(xp.arctan2(-tfm[..., 2, 1], tfm[..., 2, 2]))
+    pitch = xp.rad2deg(
+        xp.arctan2(tfm[..., 2, 0],
+                   xp.sqrt(tfm[..., 2, 1] ** 2 + tfm[..., 2, 2] ** 2)))
+    return xp.stack(
         [tfm[..., 0, 3], tfm[..., 1, 3], tfm[..., 2, 3], roll, yaw, pitch],
         axis=-1)
 
 
 def inverse_tfm(tfm):
     """Closed-form inverse of rigid 4x4 transforms (..., 4, 4)."""
-    tfm = jnp.asarray(tfm)
-    rot_t = jnp.swapaxes(tfm[..., :3, :3], -1, -2)
-    trans = -_matmul(rot_t, tfm[..., :3, 3:4])
-    top = jnp.concatenate([rot_t, trans], axis=-1)
-    bottom = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=tfm.dtype), top.shape[:-2] + (1, 4))
-    return jnp.concatenate([top, bottom], axis=-2)
+    xp = array_namespace(tfm)
+    tfm = xp.asarray(tfm)
+    rot_t = xp.swapaxes(tfm[..., :3, :3], -1, -2)
+    trans = -_matmul(xp, rot_t, tfm[..., :3, 3:4])
+    top = xp.concatenate([rot_t, trans], axis=-1)
+    bottom = xp.broadcast_to(
+        xp.asarray([0.0, 0.0, 0.0, 1.0], dtype=tfm.dtype),
+        top.shape[:-2] + (1, 4))
+    return xp.concatenate([top, bottom], axis=-2)
 
 
 def x1_to_x2_tfm(pose1, pose2):
     """T_2<-1 from two poses (ref transformation_utils.py x1_to_x2)."""
+    xp = array_namespace(pose1, pose2)
     t_w1 = pose_to_tfm(pose1)
     t_w2 = pose_to_tfm(pose2)
-    return _matmul(inverse_tfm(t_w2), t_w1)
+    return _matmul(xp, inverse_tfm(t_w2), t_w1)
 
 
 def get_pairwise_transformation(lidar_poses, agent_mask):
@@ -120,19 +136,23 @@ def get_pairwise_transformation(lidar_poses, agent_mask):
     Replaces the python double loop of ref transformation_utils.py:22-67 with
     one batched solve-free composition (inverse(T_wj) @ T_wi).
     """
-    poses = jnp.asarray(lidar_poses)
+    xp = array_namespace(lidar_poses, agent_mask)
+    poses = xp.asarray(lidar_poses)
     squeeze = poses.ndim == 2
     if squeeze:
         poses = poses[None]
-        agent_mask = jnp.asarray(agent_mask)[None]
+        agent_mask = xp.asarray(agent_mask)[None]
     t_wx = pose_to_tfm(poses)  # (B, L, 4, 4)
     t_xw = inverse_tfm(t_wx)
     # out[b, i, j] = t_xw[b, j] @ t_wx[b, i]
-    out = jnp.einsum("bjxy,biyz->bijxz", t_xw, t_wx, precision=_HI)
-    valid = (jnp.asarray(agent_mask)[:, :, None] &
-             jnp.asarray(agent_mask)[:, None, :])  # (B, L, L)
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=out.dtype), out.shape)
-    out = jnp.where(valid[..., None, None], out, eye)
+    if xp is np:
+        out = np.einsum("bjxy,biyz->bijxz", t_xw, t_wx)
+    else:
+        out = jnp.einsum("bjxy,biyz->bijxz", t_xw, t_wx, precision=_HI)
+    valid = (xp.asarray(agent_mask)[:, :, None] &
+             xp.asarray(agent_mask)[:, None, :])  # (B, L, L)
+    eye = xp.broadcast_to(xp.eye(4, dtype=out.dtype), out.shape)
+    out = xp.where(valid[..., None, None], out, eye)
     return out[0] if squeeze else out
 
 
@@ -147,16 +167,17 @@ def normalize_pairwise_tfm(pairwise_t_matrix, H: int, W: int,
 
     pairwise_t_matrix: (..., 4, 4) -> (..., 2, 3).
     """
-    t = jnp.asarray(pairwise_t_matrix)
+    xp = array_namespace(pairwise_t_matrix)
+    t = xp.asarray(pairwise_t_matrix)
     a00 = t[..., 0, 0]
     a01 = t[..., 0, 1] * H / W
     a02 = t[..., 0, 3] / (downsample_rate * discrete_ratio * W) * 2
     a10 = t[..., 1, 0] * W / H
     a11 = t[..., 1, 1]
     a12 = t[..., 1, 3] / (downsample_rate * discrete_ratio * H) * 2
-    row0 = jnp.stack([a00, a01, a02], axis=-1)
-    row1 = jnp.stack([a10, a11, a12], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
+    row0 = xp.stack([a00, a01, a02], axis=-1)
+    row1 = xp.stack([a10, a11, a12], axis=-1)
+    return xp.stack([row0, row1], axis=-2)
 
 
 def project_points(points, tfm):
@@ -165,11 +186,15 @@ def project_points(points, tfm):
     points: (..., N, 3+C); tfm: (..., 4, 4) -> same shape as points.
     Ref: opencood/utils/box_utils.py:319 project_points_by_matrix_torch.
     """
-    points = jnp.asarray(points)
-    tfm = jnp.asarray(tfm)
+    xp = array_namespace(points, tfm)
+    points = xp.asarray(points)
+    tfm = xp.asarray(tfm)
     xyz = points[..., :3]
     rot = tfm[..., :3, :3]
     trans = tfm[..., :3, 3]
-    new_xyz = (jnp.einsum("...ij,...nj->...ni", rot, xyz, precision=_HI)
-               + trans[..., None, :])
-    return jnp.concatenate([new_xyz, points[..., 3:]], axis=-1)
+    if xp is np:
+        new_xyz = np.einsum("...ij,...nj->...ni", rot, xyz) + trans[..., None, :]
+    else:
+        new_xyz = (jnp.einsum("...ij,...nj->...ni", rot, xyz, precision=_HI)
+                   + trans[..., None, :])
+    return xp.concatenate([new_xyz, points[..., 3:]], axis=-1)

@@ -4,7 +4,7 @@ errors, and places batches with a mesh sharding."""
 import numpy as np
 import pytest
 
-from coalign_tpu.data.prefetch import prefetch
+from coalign_tpu.data.prefetch import prefetch, prefetch_batches
 
 
 def test_prefetch_order_and_content():
@@ -41,6 +41,55 @@ def test_prefetch_device_put_with_mesh():
     # leading dim sharded over the data axis
     assert len(x.sharding.device_set) == len(jax.devices())
     np.testing.assert_array_equal(np.asarray(x), batches[0]["x"])
+
+
+def test_prefetch_batches_pool_matches_serial():
+    """The 4-worker pool yields the same batches in the same order as the
+    serial batches() path, and partial tails obey drop_last."""
+    from coalign_tpu.data import IntermediateFusionBatcher, SyntheticScenes
+
+    lr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    ds = SyntheticScenes(num_frames=5, num_agents=2, num_objects=2,
+                         lidar_range=lr, points_per_object=16,
+                         ground_points=32, seed=3)
+    batcher = IntermediateFusionBatcher(max_cav=2, max_points=512,
+                                        max_objects=8, lidar_range=lr)
+    serial = list(batcher.batches(ds, 2, shuffle=False, drop_last=False))
+    pooled = list(prefetch_batches(batcher, ds, 2, workers=4, size=3,
+                                   to_device=False, shuffle=False,
+                                   drop_last=False))
+    assert len(pooled) == len(serial) == 3  # 2+2+1
+    for s, p in zip(serial, pooled):
+        for k in s:
+            np.testing.assert_array_equal(np.asarray(s[k]),
+                                          np.asarray(p[k]), err_msg=k)
+    assert len(list(prefetch_batches(batcher, ds, 2, workers=2,
+                                     to_device=False, shuffle=False,
+                                     drop_last=True))) == 2
+
+
+def test_precache_json_fast_path(tmp_path):
+    """precache_json writes side-files the reader then prefers; frames
+    parse identically through both paths."""
+    from coalign_tpu.data import SyntheticScenes
+    from coalign_tpu.data.fixtures import write_opv2v_fixture
+    from coalign_tpu.data.opv2v import OPV2VBaseDataset, precache_json
+
+    lr = [-12.8, -12.8, -3.0, 12.8, 12.8, 1.0]
+    scenes = SyntheticScenes(num_frames=2, num_agents=2, num_objects=3,
+                             lidar_range=lr, points_per_object=16,
+                             ground_points=32, seed=5)
+    root = write_opv2v_fixture(str(tmp_path / "opv2v"), scenes,
+                               frames_per_scenario=2)
+    before = OPV2VBaseDataset(root, train=False, max_cav=2)[0]
+    n = precache_json(root)
+    assert n > 0
+    assert precache_json(root) == 0  # idempotent
+    after = OPV2VBaseDataset(root, train=False, max_cav=2)[0]
+    for a, b in zip(before["agents"], after["agents"]):
+        np.testing.assert_allclose(a["pose"], b["pose"], rtol=1e-12)
+    np.testing.assert_allclose(before["objects"]["boxes"],
+                               after["objects"]["boxes"], rtol=1e-12)
 
 
 def test_train_epochs_uses_prefetch_end_to_end():
