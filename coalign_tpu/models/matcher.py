@@ -37,10 +37,32 @@ from coalign_tpu.utils.iou import (polygon_area,
 from coalign_tpu.utils.nms import nms_rotated
 
 
-def boxes_iou3d_matrix(boxes, order: str = "hwl"):
-    """Pairwise 3D IoU of center-form boxes (K, 7) -> (K, K)
-    (ref pcdet_utils iou3d_nms boxes_iou3d_gpu)."""
+def boxes_iou3d_matrix(boxes, order: str = "pcdet"):
+    """Pairwise 3D IoU of center-form boxes (K, 7) -> (K, K).
+
+    Default 'pcdet' replicates ref boxes_iou3d_gpu (iou3d_nms_utils.py:147)
+    AS THE MATCHER CALLS IT: the kernel reads cols 3,4 as the rotated BEV
+    extents and col 5 as the z extent regardless of the caller's box
+    order — and matcher.py:74 feeds hwl boxes straight in, so the
+    reference clusters on (h, w) footprints with l as height (a latent
+    reference quirk, kept for golden parity; 'hwl' gives the
+    geometrically-correct variant)."""
     boxes = jnp.asarray(boxes)
+    if order == "pcdet":
+        h = boxes[:, 5]
+        c = B.boxes_to_corners_3d(boxes, "lwh")[:, :4, :2]
+        z_lo, z_hi = boxes[:, 2] - h / 2, boxes[:, 2] + h / 2
+        k = boxes.shape[0]
+        c1 = jnp.broadcast_to(c[:, None], (k, k, 4, 2))
+        c2 = jnp.broadcast_to(c[None, :], (k, k, 4, 2))
+        bev_inter = quad_intersection_area_sorted(c1, c2)
+        z_overlap = jnp.maximum(
+            jnp.minimum(z_hi[:, None], z_hi[None, :])
+            - jnp.maximum(z_lo[:, None], z_lo[None, :]), 0.0)
+        inter = bev_inter * z_overlap
+        vol = boxes[:, 3] * boxes[:, 4] * boxes[:, 5]
+        union = jnp.maximum(vol[:, None] + vol[None, :] - inter, 1e-6)
+        return inter / union
     h = boxes[:, 3] if order == "hwl" else boxes[:, 5]
     c = B.boxes_to_corners_3d(boxes, order)[:, :4, :2]
     k = boxes.shape[0]

@@ -1371,7 +1371,101 @@ def gen_pixor():
     print("pixor_inter: cls", tuple(out["cls"].shape))
 
 
+def gen_matcher():
+    """Matcher fixture (ref sub_modules/matcher.py:16): run the reference
+    clustering + cluster_fusion VERBATIM on a crafted 2-agent box set and
+    record the fused boxes/scores. boxes_iou3d_gpu is substituted with an
+    exact CPU reimplementation of the CUDA kernel's semantics — including
+    the latent reference quirk that the kernel reads cols 3,4 as BEV
+    extents and col 5 as z extent while the matcher feeds hwl boxes
+    (iou3d_nms_utils.py:147 expects [x,y,z,dx,dy,dz,r])."""
+    import torch
+
+    _stub_reference_deps()
+
+    def _bev_rect(box):
+        x, y, dx, dy, r = (float(box[0]), float(box[1]), float(box[3]),
+                           float(box[4]), float(box[6]))
+        c, s = np.cos(r), np.sin(r)
+        pts = []
+        for ux, uy in ((0.5, -0.5), (0.5, 0.5), (-0.5, 0.5), (-0.5, -0.5)):
+            px, py = ux * dx, uy * dy
+            pts.append((x + px * c - py * s, y + px * s + py * c))
+        return _ShimPolygon(pts)
+
+    def boxes_iou3d_cpu(boxes_a, boxes_b, return_union=False):
+        a = boxes_a.detach().cpu().numpy().astype(np.float64)
+        b = boxes_b.detach().cpu().numpy().astype(np.float64)
+        polys_a = [_bev_rect(r) for r in a]
+        polys_b = [_bev_rect(r) for r in b]
+        iou = np.zeros((len(a), len(b)), np.float64)
+        for i, pa in enumerate(polys_a):
+            for j, pb in enumerate(polys_b):
+                bev = pa.intersection(pb).area
+                zh = max(0.0, min(a[i, 2] + a[i, 5] / 2,
+                                  b[j, 2] + b[j, 5] / 2)
+                         - max(a[i, 2] - a[i, 5] / 2,
+                               b[j, 2] - b[j, 5] / 2))
+                inter = bev * zh
+                union = max(a[i, 3] * a[i, 4] * a[i, 5]
+                            + b[j, 3] * b[j, 4] * b[j, 5] - inter, 1e-6)
+                iou[i, j] = inter / union
+        out = torch.from_numpy(iou.astype(np.float32))
+        return (out, None) if return_union else out
+
+    import types as _t
+    iou_mod = _t.ModuleType("opencood.pcdet_utils.iou3d_nms.iou3d_nms_utils")
+    iou_mod.boxes_iou3d_gpu = boxes_iou3d_cpu
+    for name in ("opencood.pcdet_utils", "opencood.pcdet_utils.iou3d_nms"):
+        sys.modules.setdefault(name, _t.ModuleType(name))
+    sys.modules["opencood.pcdet_utils.iou3d_nms.iou3d_nms_utils"] = iou_mod
+
+    from opencood.models.sub_modules.matcher import Matcher
+
+    # crafted hwl boxes [x, y, z, h, w, l, yaw]: cluster A (3 members,
+    # one yaw flipped by ~pi -> exercises the minority-direction flip),
+    # a greedy-overwrite chain (0.0 / 1.1 / 2.2 m apart at 1.5x1.8 BEV
+    # rects under the pcdet quirk: 0-1 and 1-2 overlap, 0-2 do not),
+    # a cluster straddling agents, a singleton, and one fused box outside
+    # pc_range x_max (exercises the all-corner range mask).
+    agent0 = np.array([
+        [5.0, 2.0, 0.0, 1.5, 1.8, 4.2, 0.20],
+        [5.1, 2.1, 0.1, 1.6, 1.7, 4.0, 0.15],
+        [-3.0, -6.0, 0.0, 1.5, 1.8, 4.2, 1.30],   # chain 0
+        [-2.0, -6.0, 0.0, 1.5, 1.8, 4.2, 1.30],   # chain 1 (1.0 from both)
+        [-1.0, -6.0, 0.0, 1.5, 1.8, 4.2, 1.30],   # chain 2
+        [33.0, 0.0, 0.0, 1.5, 1.8, 4.2, 0.0],     # out of range (x_max 30)
+    ], np.float32)
+    agent1 = np.array([
+        [5.05, 1.95, 0.05, 1.5, 1.8, 4.1, 0.20 + np.pi],  # flipped member
+        [-10.0, 5.0, 0.0, 1.5, 1.8, 4.2, -0.70],          # singleton
+    ], np.float32)
+    scores0 = np.array([0.90, 0.60, 0.45, 0.80, 0.50, 0.95], np.float32)
+    scores1 = np.array([0.70, 0.55], np.float32)
+
+    pc_range = [-30.0, -30.0, -3.0, 30.0, 30.0, 1.0]
+    matcher = Matcher(None, pc_range)
+    dd = {
+        "det_boxes": [torch.from_numpy(agent0), torch.from_numpy(agent1)],
+        "det_scores": [torch.from_numpy(scores0), torch.from_numpy(scores1)],
+        "record_len": torch.tensor([2]),
+        "lidar_pose": torch.zeros(2, 6),
+        "proj_first": True,
+    }
+    clusters, cscores = matcher.clustering(dd)
+    boxes_fused, scores_fused = matcher.cluster_fusion(clusters, cscores)
+    np.savez(os.path.join(HERE, "matcher_io.npz"),
+             agent0=agent0, agent1=agent1,
+             scores0=scores0, scores1=scores1,
+             pc_range=np.asarray(pc_range, np.float32),
+             boxes_fused=boxes_fused[0].numpy(),
+             scores_fused=scores_fused[0].numpy())
+    print("matcher: fused", boxes_fused[0].shape,
+          "scores", scores_fused[0].numpy().round(4))
+
+
 GENERATORS = {
+    "matcher": gen_matcher,
     "e2e_ap": gen_e2e_ap,
     "pixor": gen_pixor,
     "lss_efficientnet": lambda: gen_lss("EfficientNet"),
