@@ -44,13 +44,26 @@ def warp_affine(src, affine, out_hw=None):
 def _bilinear_gather(src, fx, fy):
     """Zero-padded bilinear sampling of (H, W, C) at float coords (..., ).
 
-    Four independent C-wide row gathers from one zero-framed (h*(w+2), C)
-    table — one gather per bilinear tap. Raced on the v5e against the
-    round-2 paired-channel 2-gather form (_bilinear_gather_pair): equal or
-    faster at every production scale (0.023 vs 0.033 ms at 100x352x64xL20)
-    AND it avoids the 2C-wide packed-row gather that repeatably faults the
-    TPU worker at the (50, 176, 128) scale-1 shape for B=4
-    (examples/probe_warp_variants.py, 2026-08)."""
+    HYBRID dispatch, raced inside the FULL e2e program on the v5e (device
+    traces show these gathers are the program's single largest cost —
+    ~5 ms of a 24 ms frame at OPV2V scale with the 4-tap form):
+
+      * 2C <= 128 lanes (the C=64 scale-0 maps, where most of the pixels
+        are): the paired-channel 2-gather form — packs both x-neighbors
+        into one native-width row, halving gathered rows;
+      * wider maps (C >= 128): four independent C-wide row gathers — the
+        2C-wide packed form at C=128 repeatably faults the TPU worker at
+        B=4 (examples/probe_warp_variants.py, 2026-08).
+    """
+    if 2 * src.shape[-1] <= 128:
+        return _bilinear_gather_pair(src, fx, fy)
+    return _bilinear_gather_split4(src, fx, fy)
+
+
+def _bilinear_gather_split4(src, fx, fy):
+    """Four independent C-wide row gathers from one zero-framed
+    (h*(w+2), C) table — one gather per bilinear tap. Safe at every
+    production shape (no packed row exceeds the native 128-lane width)."""
     h, w, c = src.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -83,11 +96,12 @@ def _bilinear_gather(src, fx, fy):
 
 
 def _bilinear_gather_pair(src, fx, fy):
-    """Round-2 production form: the two x-neighbors PACKED into one
-    2C-wide row, 2 gathers total. RETIRED: the 256-lane packed rows at
-    C=128 (scale 1) repeatably fault the v5e TPU worker at B=4 (padrow /
-    halfw variants of the same packing fault identically — see
-    examples/probe_warp_variants.py). Kept as a tested reference point."""
+    """Paired-channel form: the two x-neighbors PACKED into one 2C-wide
+    row, 2 gathers total. Production for 2C <= 128 (native lane width);
+    the 256-lane packed rows at C=128 (scale 1) repeatably fault the v5e
+    TPU worker at B=4 (padrow / halfw variants of the same packing fault
+    identically — see examples/probe_warp_variants.py), so wider maps
+    take _bilinear_gather_split4."""
     h, w, c = src.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
