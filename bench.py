@@ -100,15 +100,24 @@ def make_batch(batch_size: int):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def timed_fps(fn, args, batch_size, iters):
+def _drain(out):
+    """Force REAL completion: on the axon remote stack block_until_ready
+    returns before the launch queue drains (measured: a fwd 'blocked' in
+    0.34 ms whose scalar fetch took 47 ms), so fetch one element."""
     import jax
 
-    out = fn(*args)  # compile + warmup
     jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[0])
+
+
+def timed_fps(fn, args, batch_size, iters):
+    out = fn(*args)  # compile + warmup
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt, dt / iters
 
@@ -182,13 +191,13 @@ def stage_train():
     state = create_train_state(model, batch1, tx, jax.random.PRNGKey(0))
     step_fn = make_train_step(model, loss_fn, spec)
     state, _ = step_fn(state, batch1)  # compile + warmup
-    jax.block_until_ready(state.params)
+    _drain(state.params)
     flops = xla_flops(step_fn, state, batch1)
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step_fn(state, batch1)
-    jax.block_until_ready(state.params)
+    _drain(state.params)
     step_time = (time.perf_counter() - t0) / iters
     return {"train_fps": round(1.0 / step_time, 3),
             "train_step_time": step_time, "train_flops": flops}

@@ -100,6 +100,12 @@ class PillarEncoder(nn.Module):
                     z = jnp.concatenate(
                         [jnp.broadcast_to(z, pmax.shape), pmax], axis=-1)
 
+        # NOTE raced alternative (2026-08, v5e, OPV2V scale): the
+        # sentinel-free scatter (P.scatter_max_bev_nosentinel, saves the
+        # canvas slice+retile) ties at B=1 (47.9 vs 47.6 fps) but is 2.3x
+        # SLOWER at B=4 (217 vs 97 ms) in both vmapped and flat-id forms —
+        # the 140800-row (1100x128 exact) canvas tiling appears to hit a
+        # pathological XLA layout at F=20. Keep the sentinel form.
         bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev(
             xi, i, v, self.spec, indices_are_sorted=True))(x, ids, valid)
         if z is not None:

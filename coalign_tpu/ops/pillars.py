@@ -264,6 +264,30 @@ def scatter_max_bev_compact(point_feats, ids, valid, spec: PillarSpec):
     return canvas[:num_seg - 1].reshape(spec.ny, spec.nx, -1)
 
 
+def scatter_max_bev_nosentinel(point_feats, ids, valid, spec: PillarSpec):
+    """Sorted-ids scatter with NO sentinel row: (N, C) -> (ny, nx, C).
+
+    scatter_max_bev's (ny*nx+1)-row canvas forces a slice + retile of the
+    whole ~90 MB batched canvas afterwards (device trace: ~1.3 ms of the
+    OPV2V-scale frame). Instead invalid points keep -inf features and are
+    routed to the LAST real pillar — a max ignores them, all-invalid
+    pillars stay -inf and clamp to the reference's zero canvas, and ids
+    stay sorted (the invalid sentinel already sorted last). Requires
+    sorted ids and post-ReLU (non-negative) features.
+
+    NOTE batch scaling: flattening the (L, N) batch into ONE global
+    segment_max (ids offset per agent) raced FASTER at B=1 (5 agents) but
+    2.3x SLOWER at B=4 (20 agents, 2.8M segments) — keep the per-agent
+    vmap form.
+    """
+    cells = spec.ny * spec.nx
+    neg = jnp.finfo(point_feats.dtype).min
+    feats = jnp.where(valid[:, None], point_feats, neg)
+    bev = jax.ops.segment_max(feats, jnp.minimum(ids, cells - 1),
+                              num_segments=cells, indices_are_sorted=True)
+    return jnp.maximum(bev, 0.0).reshape(spec.ny, spec.nx, -1)
+
+
 def pillar_count_bev(ids, valid, spec: PillarSpec):
     """(ny, nx) int32 point counts per pillar (useful for masks/debug)."""
     num_seg = spec.ny * spec.nx + 1

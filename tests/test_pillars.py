@@ -102,3 +102,6 @@ def test_scatter_max_bev_compact_matches_direct(rng):
     compact = P.scatter_max_bev_compact(feats_s, ids_s, valid_s, spec)
     np.testing.assert_allclose(np.asarray(compact), np.asarray(direct),
                                rtol=0, atol=0)
+    nosent = P.scatter_max_bev_nosentinel(feats_s, ids_s, valid_s, spec)
+    np.testing.assert_allclose(np.asarray(nosent), np.asarray(direct),
+                               rtol=0, atol=0)
