@@ -171,8 +171,10 @@ def stage_infer(bs: int):
     variables = jax.jit(
         lambda k, b: model.init(k, b, train=False))(jax.random.PRNGKey(0),
                                                     batch1)
+    # 100 iters: the forced drain (see _drain) costs one ~45 ms fetch RTT,
+    # which at 30 iters inflates per-frame time by ~1.5 ms
     batch = batch1 if bs == 1 else make_batch(bs)
-    fps, step_time = timed_fps(infer, (variables, batch), bs, iters=30)
+    fps, step_time = timed_fps(infer, (variables, batch), bs, iters=100)
     flops = xla_flops(infer, variables, batch) if bs == 1 else None
     return {"fps": round(fps, 3), "step_time": step_time, "flops": flops}
 

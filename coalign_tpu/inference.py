@@ -18,6 +18,22 @@ from coalign_tpu.utils import box_utils as B
 from coalign_tpu.utils import eval_utils as E
 
 
+def _map_frames(fn, *args):
+    """Apply a per-frame fn over the leading batch dim.
+
+    Small batches UNROLL (a static python loop) instead of vmap: the
+    vmapped decode's batched gathers/sorts measure ~6% slower e2e on a
+    v5e at B=4 (97.1 vs 91.3 ms, OPV2V scale) — with the unroll, batch
+    scaling is flat to B=8, i.e. the chip is genuinely saturated at B=1.
+    Large batches keep vmap to bound program size.
+    """
+    n = args[0].shape[0]
+    if n > 8:
+        return jax.vmap(fn)(*args)
+    frames = [fn(*(a[i] for a in args)) for i in range(n)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+
 def make_infer_fn(model, anchors, postprocess_cfg: dict):
     """Returns a jitted (variables, batch) -> per-frame detections fn.
 
@@ -53,8 +69,8 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
                         "scores": jnp.where(keep, det["scores"], 0.0),
                         "mask": keep}
 
-            return jax.vmap(per_frame)(out["cls_map"], out["reg_map"],
-                                       batch["transformation_matrix"])
+            return _map_frames(per_frame, out["cls_map"], out["reg_map"],
+                               batch["transformation_matrix"])
 
         return infer_dense
 
@@ -75,9 +91,9 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
                     b7, cls, rm, tfm, score_threshold=score_thr,
                     nms_threshold=nms_thr, gt_range=gt_range)
 
-            return jax.vmap(per_frame2)(
-                out["boxes_refined"], out["roi_cls"], out["roi_mask"],
-                batch["transformation_matrix"])
+            return _map_frames(
+                per_frame2, out["boxes_refined"], out["roi_cls"],
+                out["roi_mask"], batch["transformation_matrix"])
 
         def per_frame(cls_p, reg_p, dir_p, tfm):
             return post_process_frame(
@@ -89,8 +105,8 @@ def make_infer_fn(model, anchors, postprocess_cfg: dict):
         if dir_preds is None:
             dir_preds = jnp.zeros(out["cls_preds"].shape[:-1]
                                   + (out["cls_preds"].shape[-1] * 2,))
-        dets = jax.vmap(per_frame)(
-            out["cls_preds"], out["reg_preds"], dir_preds,
+        dets = _map_frames(
+            per_frame, out["cls_preds"], out["reg_preds"], dir_preds,
             batch["transformation_matrix"])
         if "comm_rate" in out:  # where2comm bandwidth accounting
             dets["comm_rate"] = out["comm_rate"]
