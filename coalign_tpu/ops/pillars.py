@@ -108,18 +108,34 @@ def sorted_segment_stats(x, ids, valid):
 
     Returns per-point (sum over own segment) with NO scatter/gather — the
     LSS QuickCumsum idea (ref camera_utils.py:209) applied to pillar
-    decoration. x: (N, C) pre-masked (invalid rows zero)."""
+    decoration. x: (N, C) pre-masked (invalid rows zero).
+
+    The two boundary broadcasts (segment-start cumsum forward, segment-end
+    cumsum backward) are PACKED into one forward fill: the reverse fill of
+    ``end`` rows equals the forward fill of ``start`` rows of the flipped
+    array (ends of the flipped array are its starts), so one
+    associative_scan over a (N, 2C) pack replaces two over (N, C) —
+    measurably fewer scan passes over HBM at 30k+ points."""
     n = x.shape[0]
     start = jnp.concatenate(
         [jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+    end = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
     csum = jnp.cumsum(x, axis=0)
     csum_prev = jnp.concatenate([jnp.zeros_like(x[:1]), csum[:-1]], axis=0)
-    # cumsum just BEFORE the segment start, broadcast to members
-    base = _forward_fill(jnp.where(start[:, None], csum_prev, 0.0), start)
-    # cumsum AT the segment end, broadcast back to members (reverse fill)
-    end = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones((1,), bool)])
-    top = _forward_fill(jnp.where(end[:, None], csum, 0.0)[::-1],
-                        end[::-1])[::-1]
+    c = x.shape[1]
+    packed = jnp.concatenate(
+        [jnp.where(start[:, None], csum_prev, 0.0),
+         jnp.where(end[:, None], csum, 0.0)[::-1]], axis=1)
+    keep = jnp.concatenate([start[:, None].repeat(c, 1),
+                            end[::-1][:, None].repeat(c, 1)], axis=1)
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av), af | bf)
+
+    vals, _ = jax.lax.associative_scan(op, (packed, keep), axis=0)
+    base, top = vals[:, :c], vals[:, c:][::-1]
     del n, valid
     return top - base
 

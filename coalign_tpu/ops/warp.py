@@ -179,16 +179,24 @@ def warp_agents_to_ego(features, affines, agent_mask):
     features:   (B, L, H, W, C) per-agent NHWC feature maps.
     affines:    (B, L, 2, 3) normalized affines ego->agent_j (i.e. row 0 of
                 the normalized pairwise matrix, ref fusion_in_one.py:36-40 —
-                grid_sample needs the output->source mapping).
+                grid_sample needs the output->source mapping). CONTRACT:
+                ``affines[:, 0]`` is the ego diagonal of the pairwise
+                matrix (identity up to float eps) — it is not sampled.
     agent_mask: (B, L) bool; invalid agents produce all-zero maps.
     Returns (B, L, H, W, C).
     """
     b, l, h, w, c = features.shape
-    # ONE flat batch dim: a nested vmap here lowers the bilinear gather to
-    # a multi-batch-dim XLA gather that is catastrophically slow on TPU
-    # (measured 5.5 ms vs 0.02 ms for the same work at 100x352x64xL5 on a
-    # v5e — and some shapes fault the device); reshape instead.
-    warped = jax.vmap(warp_affine)(features.reshape(b * l, h, w, c),
-                                   affines.reshape(b * l, 2, 3))
-    warped = warped.reshape(b, l, h, w, c)
+    # ego (l = 0) warps with its own identity affine: bilinear sampling at
+    # exact pixel centers is the identity map (the reference grid_samples
+    # ego through the same identity, fusion_in_one.py:36-40), so skip its
+    # gathers — 1/L of the warp cost, the program's largest gather bill
+    neigh = jax.vmap(warp_affine)(
+        features[:, 1:].reshape(b * (l - 1), h, w, c),
+        affines[:, 1:].reshape(b * (l - 1), 2, 3))
+    # ONE flat batch dim above: a nested vmap here lowers the bilinear
+    # gather to a multi-batch-dim XLA gather that is catastrophically slow
+    # on TPU (measured 5.5 ms vs 0.02 ms for the same work at 100x352x64xL5
+    # on a v5e — and some shapes fault the device); reshape instead.
+    warped = jnp.concatenate(
+        [features[:, :1], neigh.reshape(b, l - 1, h, w, c)], axis=1)
     return warped * agent_mask[..., None, None, None].astype(features.dtype)
