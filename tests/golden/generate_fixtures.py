@@ -1464,7 +1464,198 @@ def gen_matcher():
           "scores", scores_fused[0].numpy().round(4))
 
 
+FULL_SCALE_ARGS = {
+    # the flagship OPV2V CoAlign config at REAL scale (ref hypes_yaml/opv2v/
+    # lidar_only_with_noise/coalign/pointpillar_coalign.yaml): 200x704 BEV
+    # grid, 3-scale ResNet backbone, att fusion per scale, shrink 384->256.
+    "voxel_size": [0.4, 0.4, 4.0],
+    "lidar_range": [-140.8, -40.0, -3.0, 140.8, 40.0, 1.0],
+    "anchor_number": 2,
+    "pillar_vfe": {"use_norm": True, "with_distance": False,
+                   "use_absolute_xyz": True, "num_filters": [64]},
+    "point_pillar_scatter": {"num_features": 64, "grid_size": [704, 200, 1]},
+    "base_bev_backbone": {"layer_nums": [3, 5, 8], "layer_strides": [2, 2, 2],
+                          "num_filters": [64, 128, 256],
+                          "upsample_strides": [1, 2, 4],
+                          "num_upsample_filter": [128, 128, 128],
+                          "resnet": True},
+    "fusion_method": "att",
+    "att": {"feat_dim": [64, 128, 256]},
+    "shrink_header": {"kernal_size": [3], "stride": [1], "padding": [1],
+                      "dim": [256], "input_dim": 384},
+    "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
+}
+FULL_SCALE_CAVS = 5
+FULL_SCALE_PTS = 6000
+
+
+def _full_scale_points(seed, n):
+    """Uniform points, kept CLEAR of pillar boundaries: at |x| ~ 140 the
+    f32 ulp is ~4e-5 pillar units, so a point within ~that of a grid line
+    quantizes to DIFFERENT pillars under `(x-min)/v` vs `(x-min)*(1/v)`
+    (both legitimate f32 formulations; measured on points_3: x=83.999985).
+    A parity fixture must not encode which side such a point lands on —
+    resample until every point is >=1e-3 pillar units (0.4 mm) from any
+    x/y boundary."""
+    rng = np.random.default_rng(seed)
+    lr = FULL_SCALE_ARGS["lidar_range"]
+    vs = FULL_SCALE_ARGS["voxel_size"]
+
+    def draw(k):
+        return np.stack([
+            rng.uniform(lr[0] + 0.5, lr[3] - 0.5, k),
+            rng.uniform(lr[1] + 0.5, lr[4] - 0.5, k),
+            rng.uniform(lr[2] + 0.2, lr[5] - 0.2, k),
+            rng.uniform(0, 1, k),
+        ], axis=1).astype(np.float32)
+
+    pts = draw(n)
+    for _ in range(50):
+        fx = (pts[:, 0].astype(np.float64) - lr[0]) / vs[0]
+        fy = (pts[:, 1].astype(np.float64) - lr[1]) / vs[1]
+        bad = ((np.abs(fx - np.round(fx)) < 1e-3)
+               | (np.abs(fy - np.round(fy)) < 1e-3))
+        if not bad.any():
+            return pts
+        pts[bad] = draw(int(bad.sum()))
+    raise RuntimeError("could not sample boundary-clear points")
+
+
+def _voxelize_args(points, args, batch_idx=0):
+    """_voxelize generalized to an arbitrary grid config (vectorized: the
+    full-scale frame has ~30k pillars, too many for the per-key loop)."""
+    vs, lr = args["voxel_size"], args["lidar_range"]
+    ix = np.floor((points[:, 0] - lr[0]) / vs[0]).astype(np.int64)
+    iy = np.floor((points[:, 1] - lr[1]) / vs[1]).astype(np.int64)
+    key = ix * 100000 + iy
+    order = np.argsort(key, kind="stable")
+    skey, spts = key[order], points[order]
+    uniq, start, counts = np.unique(skey, return_index=True,
+                                    return_counts=True)
+    # first-appearance pillar order like spconv/dict.fromkeys
+    first_order = np.argsort(start, kind="stable")
+    feats = np.zeros((len(uniq), 32, 4), np.float32)
+    nums = np.zeros(len(uniq), np.int64)
+    coords = np.zeros((len(uniq), 4), np.int64)
+    for oi, ui in enumerate(first_order):
+        sel = spts[start[ui]:start[ui] + counts[ui]][:32]
+        feats[oi, :len(sel)] = sel
+        nums[oi] = len(sel)
+        coords[oi] = [batch_idx, 0, uniq[ui] % 100000, uniq[ui] // 100000]
+    return feats, coords, nums
+
+
+def gen_fullscale():
+    """ONE flagship frame at PUBLISHED scale — 200x704 grid, L=5 agents —
+    through the reference's complete forward + post_process chain (ref
+    point_pillar_baseline_multiscale.py:93-135 at pointpillar_coalign.yaml
+    shapes, voxel_postprocessor.py:243-402). Every other golden fixture is
+    64x64/2-agent toy scale; the r2 bf16-coordinate bug class (pixel
+    coords > 256) only manifests at wide grids, and nothing else golden-
+    gates that regime (VERDICT r3 missing #2 / weak #5)."""
+    import torch
+
+    from opencood.data_utils.post_processor.voxel_postprocessor import \
+        VoxelPostprocessor
+    from opencood.models.point_pillar_baseline_multiscale import \
+        PointPillarBaselineMultiscale
+
+    args = FULL_SCALE_ARGS
+    model = PointPillarBaselineMultiscale(args)
+    # fan-in-scaled: the flat 0.1-scale _randomize explodes through this
+    # depth/width (logits reach 1e13 -> sigmoid saturates -> no margin-
+    # robust threshold exists); He-ish scaling keeps activations O(1)
+    _randomize_fan_in(model, seed=83)
+    # temper the reg head: O(1) random deltas decode to exp(±2)-scaled
+    # sizes and wild z, which remove_large_pred_bbx / remove_bbx_abnormal_z
+    # then filter to an empty box set — small deltas keep decoded boxes
+    # near the anchors so the NMS/range-mask tail actually runs
+    with torch.no_grad():
+        model.reg_head.weight.mul_(0.1)
+        model.reg_head.bias.mul_(0.1)
+    model.eval()
+    torch.save(model.state_dict(),
+               os.path.join(HERE, "fullscale_multiscale.pth"))
+
+    # L=5 agents: ego + 4 cavs with SE(2) offsets spanning the wide grid
+    rng = np.random.default_rng(89)
+    t_ego_from = [np.eye(4, dtype=np.float32)]
+    for _ in range(FULL_SCALE_CAVS - 1):
+        t_ego_from.append(_se2(rng.uniform(-25, 25), rng.uniform(-8, 8),
+                               rng.uniform(-np.pi / 4, np.pi / 4)))
+    pairwise = np.zeros((1, FULL_SCALE_CAVS, FULL_SCALE_CAVS, 4, 4),
+                        np.float32)
+    for i in range(FULL_SCALE_CAVS):
+        inv_i = np.linalg.inv(t_ego_from[i]).astype(np.float32)
+        for j in range(FULL_SCALE_CAVS):
+            pairwise[0, i, j] = inv_i @ t_ego_from[j]
+
+    clouds, feats, coords, nums = [], [], [], []
+    for a in range(FULL_SCALE_CAVS):
+        pts = _full_scale_points(seed=900 + a, n=FULL_SCALE_PTS)
+        clouds.append(pts)
+        f, c, n = _voxelize_args(pts, args, batch_idx=a)
+        feats.append(f); coords.append(c); nums.append(n)
+    torch_in = {
+        "processed_lidar": {
+            "voxel_features": torch.from_numpy(np.concatenate(feats)),
+            "voxel_coords": torch.from_numpy(np.concatenate(coords)),
+            "voxel_num_points": torch.from_numpy(np.concatenate(nums)),
+        },
+        "record_len": torch.tensor([FULL_SCALE_CAVS]),
+        "pairwise_t_matrix": torch.from_numpy(pairwise),
+    }
+    with torch.no_grad():
+        out = model(torch_in)
+
+    # adaptive, margin-robust score threshold, chosen in LOGIT space: the
+    # top-rank sigmoid scores compress into a ~1e-4-wide band (top logits
+    # ~7), so no sigmoid-space gap is robust — but consecutive top-rank
+    # LOGITS are ~0.01-0.3 apart. Put the threshold at the sigmoid of the
+    # widest logit gap among ranks 30..400: membership then can't flip
+    # unless a logit drifts by half that gap (pipeline parity is ~2e-4).
+    logits_all = np.sort(out["cls_preds"].reshape(-1).numpy())[::-1]
+    gaps = logits_all[29:399] - logits_all[30:400]
+    gi = int(np.argmax(gaps)) + 29
+    thr = float(1.0 / (1.0 + np.exp(-(logits_all[gi]
+                                      + logits_all[gi + 1]) / 2)))
+    assert gaps.max() > 1e-2, (
+        f"knife-edge threshold (max logit gap {gaps.max():.2e}); "
+        "reroll the seed")
+
+    post_params = {
+        "anchor_args": {"W": 704, "H": 200, "l": 3.9, "w": 1.6, "h": 1.56,
+                        "r": [0, 90], "num": 2, "feature_stride": 2,
+                        "vw": 0.4, "vh": 0.4, "vd": 4.0,
+                        "cav_lidar_range": args["lidar_range"]},
+        "target_args": {"pos_threshold": 0.6, "neg_threshold": 0.45,
+                        "score_threshold": thr},
+        "order": "hwl", "max_num": 100, "nms_thresh": 0.15,
+        "dir_args": args["dir_args"],
+        "gt_range": args["lidar_range"],
+    }
+    post = VoxelPostprocessor(post_params, train=False)
+    anchors = torch.from_numpy(np.asarray(post.generate_anchor_box()))
+    data_dict = {"ego": {"transformation_matrix": torch.eye(4),
+                         "anchor_box": anchors}}
+    boxes, scores = post.post_process(data_dict, {"ego": out})
+    assert len(boxes) >= 5, f"degenerate fixture: {len(boxes)} boxes"
+    arrays = {f"points_{a}": clouds[a] for a in range(FULL_SCALE_CAVS)}
+    arrays.update(
+        pairwise=pairwise,
+        cls_preds=out["cls_preds"].numpy(),
+        reg_preds=out["reg_preds"].numpy(),
+        dir_preds=out["dir_preds"].numpy(),
+        pred_corners=boxes.numpy(), pred_scores=scores.numpy(),
+        score_threshold=np.float64(thr),
+        nms_thresh=np.float64(0.15))
+    np.savez(os.path.join(HERE, "fullscale_io.npz"), **arrays)
+    print("fullscale: cls", tuple(out["cls_preds"].shape),
+          "boxes", tuple(boxes.shape))
+
+
 GENERATORS = {
+    "fullscale": gen_fullscale,
     "matcher": gen_matcher,
     "e2e_ap": gen_e2e_ap,
     "pixor": gen_pixor,

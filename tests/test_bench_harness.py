@@ -1,0 +1,79 @@
+"""Bench harness robustness: a wedged/killed first probe must not null the
+artifact (VERDICT r3 weak #6 — BENCH_r03.json was nulled by a single
+no-retry probe attempt against a transiently wedged TPU worker)."""
+
+import importlib.util
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_probe_retries_after_killed_first_attempt():
+    bench = _load_bench()
+    calls = []
+
+    def fake_run(args, timeout):
+        calls.append(timeout)
+        # first attempt: the worker is wedged (timeout); second: recovers
+        if len(calls) == 1:
+            return {"error": "timeout"}
+        return {"ok": 1.0, "device": "fake"}
+
+    ok, res = bench._probe_device(run=fake_run)
+    assert ok and res["ok"] == 1.0
+    assert len(calls) == 2
+    # backoff: the retry gets a LONGER window than the first attempt
+    assert calls[1] > calls[0]
+
+
+def test_probe_gives_up_after_all_retries():
+    bench = _load_bench()
+    calls = []
+
+    def fake_run(args, timeout):
+        calls.append(timeout)
+        return {"error": "timeout"}
+
+    ok, res = bench._probe_device(run=fake_run)
+    assert not ok and res["error"] == "timeout"
+    assert len(calls) == 3
+
+
+def test_main_still_runs_stages_when_probe_fails(monkeypatch, capsys):
+    """A flaky probe must not abort: stages are attempted anyway and the
+    probe failure is recorded in stage_errors, not as a null artifact."""
+    import json
+
+    bench = _load_bench()
+
+    def fake_stage(args, timeout=1500):
+        if args == ["probe"]:
+            return {"error": "timeout"}
+        if args == ["train"]:
+            return {"train_fps": 10.0, "train_step_time": 0.1,
+                    "train_flops": 1e12}
+        if args == ["data_plane"]:
+            return {"data_plane_fps": 40.0, "native_parser": True}
+        if args == ["system"]:
+            return {"system_fps": 45.0}
+        return {"fps": 50.0, "step_time": 0.02, "flops": 1e12,
+                "bytes_accessed": 1e9}
+
+    monkeypatch.setattr(bench, "_run_stage_subprocess", fake_stage)
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda run=None: (False, {"error": "timeout"}))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    assert bench.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 50.0, out
+    assert out["stage_errors"]["probe"]
+    assert out["train_frames_per_sec"] == 10.0
