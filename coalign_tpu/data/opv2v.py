@@ -145,13 +145,21 @@ class OPV2VBaseDataset:
 
     def __init__(self, root_dir: str, train: bool = True, max_cav: int = 5,
                  load_lidar: bool = True, load_camera: bool = False,
-                 shuffle_cavs: bool = False, seed: int = 303):
+                 shuffle_cavs: bool = False, seed: int = 303,
+                 cache_frames: bool = False):
         self.root_dir = root_dir
         self.train = train
         self.max_cav = max_cav
         self.load_lidar = load_lidar
         self.load_camera = load_camera
         self.shuffle_cavs = shuffle_cavs and train
+        # cache_frames: keep parsed frames (points + poses + boxes) in host
+        # RAM so epochs after the first skip file IO + parsing entirely.
+        # Cached frames are treated read-only downstream (the batchers only
+        # read; WorldAugmentor copies). Incompatible with shuffle_cavs
+        # (reinitialize() must re-read the tree to reorder agents).
+        self.cache_frames = cache_frames and not self.shuffle_cavs
+        self._frame_cache: dict = {}
         self.rng = np.random.default_rng(seed)
         self.scenario_folders = sorted(
             os.path.join(root_dir, x) for x in os.listdir(root_dir)
@@ -163,6 +171,7 @@ class OPV2VBaseDataset:
     def reinitialize(self):
         """(Re)build the scenario database; called per epoch by the train
         loop to reshuffle CAV ordering like ref train.py:171."""
+        self._frame_cache.clear()  # agent order may change
         self.scenarios = []     # list of (cav_list, {cav: {ts: paths}})
         self.len_record = []
         total = 0
@@ -219,6 +228,16 @@ class OPV2VBaseDataset:
         return cams
 
     def __getitem__(self, idx):
+        if self.cache_frames:
+            hit = self._frame_cache.get(idx)
+            if hit is not None:
+                return hit
+        frame = self._read_frame(idx)
+        if self.cache_frames:
+            self._frame_cache[idx] = frame
+        return frame
+
+    def _read_frame(self, idx):
         si, ti = self._locate(idx)
         cav_list, db, timestamps = self.scenarios[si]
         ts = timestamps[ti]
