@@ -185,12 +185,20 @@ def make_late_infer_fn(model, anchors, postprocess_cfg: dict,
     return infer
 
 
-def dump_detections_npy(dets: dict, batch: dict, out_dir: str, idx: int):
+def dump_detections_npy(dets: dict, batch: dict, out_dir: str, idx: int,
+                        cav_box=None, lidar_agent_record=None):
     """Persist one batch's detections + gt for offline visualization
-    (ref inference_utils.py:176 save npy files)."""
+    (ref inference_utils.py:176 save npy files). For heterogeneous runs
+    the per-CAV marker boxes + lidar-agent record ride along (ref
+    tools/inference.py:195 attaches cav_box_np/lidar_agent_record)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    if cav_box is not None:
+        np.save(os.path.join(out_dir, f"{idx:05d}_cav_box.npy"),
+                np.asarray(cav_box))
+        np.save(os.path.join(out_dir, f"{idx:05d}_lidar_agent.npy"),
+                np.asarray(lidar_agent_record))
     np.save(os.path.join(out_dir, f"{idx:05d}_pred_corners.npy"),
             np.asarray(dets["corners3d"]))
     np.save(os.path.join(out_dir, f"{idx:05d}_pred_scores.npy"),
@@ -208,7 +216,8 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
              batch_size: int = 1, max_frames: int | None = None,
              fusion_method: str = "intermediate", npy_dir: str = None,
              vis_dir: str = None, vis_interval: int = 40,
-             lidar_range=None, batch_hook=None, left_hand: bool = False):
+             lidar_range=None, batch_hook=None, left_hand: bool = False,
+             heter_selector=None):
     """Run the eval protocol, returns {'ap30','ap50','ap70'} (+ counts).
 
     fusion_method dispatch mirrors ref tools/inference.py:40-227:
@@ -252,7 +261,19 @@ def evaluate(model, variables, batcher, dataset, anchors, postprocess_cfg,
             max_num=int(postprocess_cfg.get("max_num", 100)),
             comm_rate=dets.pop("comm_rate", None))
         if npy_dir:
-            dump_detections_npy(dets, batch, npy_dir, bidx)
+            cav_box = record = None
+            if heter_selector is not None:
+                # per-CAV marker boxes in the ego frame + per-agent
+                # modality record (ref inference_utils.py:266 get_cav_box,
+                # attached when the dataset is heterogeneous)
+                from coalign_tpu.utils.heter import get_cav_box
+                amask = np.asarray(batch["agent_mask"][0])
+                cav_box, record = get_cav_box(
+                    np.asarray(batch["lidar_pose"][0]), amask,
+                    heter_selector.select(int(amask.sum())))
+            dump_detections_npy(dets, batch, npy_dir, bidx,
+                                cav_box=cav_box,
+                                lidar_agent_record=record)
         if vis_dir and bidx % max(vis_interval // batch_size, 1) == 0:
             import os
 

@@ -254,6 +254,20 @@ def _box_align_hook(params: dict):
     return hook
 
 
+def _heter_selector(params: dict):
+    """AgentSelector for heterogeneous configs (yaml ``heter`` block, ref
+    heter_utils.py) — eval then dumps per-CAV marker boxes + the
+    lidar/camera record next to the detections (ref inference.py:195)."""
+    heter = params.get("heter")
+    if not heter:
+        return None
+    from coalign_tpu.utils.heter import AgentSelector
+    return AgentSelector(
+        lidar_ratio=float(heter.get("lidar_ratio", 0.5)),
+        ego_modality=heter.get("ego_modality", "lidar"),
+        seed=int(heter.get("seed", 303)))
+
+
 def cmd_inference(opt):
     import contextlib
 
@@ -290,7 +304,8 @@ def cmd_inference(opt):
                        npy_dir=npy_dir, vis_dir=vis_dir,
                        vis_interval=getattr(opt, "save_vis_interval", 40),
                        batch_hook=_box_align_hook(params),
-                       left_hand=_left_hand(params))
+                       left_hand=_left_hand(params),
+                       heter_selector=_heter_selector(params))
     print(json.dumps({"eval": res}))
     from coalign_tpu.config.yaml_utils import save_yaml
     save_yaml(res, os.path.join(

@@ -105,8 +105,16 @@ def test_evaluate_dumps_npy_and_vis(tmp_path):
                                           "neg_threshold": 0.2}, "hwl")
     npy = str(tmp_path / "npy")
     vis = str(tmp_path / "vis")
+    from coalign_tpu.utils.heter import AgentSelector
+
     evaluate(model, variables, batcher, ds, spec.anchors, POST,
-             batch_size=1, npy_dir=npy, vis_dir=vis, vis_interval=1)
+             batch_size=1, npy_dir=npy, vis_dir=vis, vis_interval=1,
+             heter_selector=AgentSelector(seed=1))
     assert os.path.exists(os.path.join(npy, "00000_pred_corners.npy"))
     assert os.path.exists(os.path.join(npy, "00001_gt_boxes.npy"))
     assert os.path.exists(os.path.join(vis, "bev_00000.png"))
+    # heterogeneous runs also dump per-CAV marker boxes + modality record
+    # (ref inference.py:195)
+    cav = np.load(os.path.join(npy, "00000_cav_box.npy"))
+    rec = np.load(os.path.join(npy, "00000_lidar_agent.npy"))
+    assert cav.shape[1:] == (8, 3) and cav.shape[0] == len(rec)

@@ -54,6 +54,49 @@ def test_agent_selector():
     assert set(mods) <= {"lidar", "camera"}
 
 
+def test_get_cav_box_positions():
+    """Marker boxes land at each live agent's position in the ego frame
+    (ref inference_utils.py:266 get_cav_box)."""
+    from coalign_tpu.utils.heter import get_cav_box
+
+    poses = np.zeros((4, 6), dtype=np.float32)
+    poses[1, :2] = [10.0, 5.0]
+    poses[2, :2] = [-8.0, 2.0]
+    poses[2, 4] = 90.0  # yaw should not move the box center
+    mask = np.array([True, True, True, False])
+    boxes, record = get_cav_box(poses, mask,
+                                modalities=["lidar", "camera", "lidar"])
+    assert boxes.shape == (3, 8, 3)
+    np.testing.assert_allclose(boxes[0, :, :2].mean(0), [0, 0], atol=1e-5)
+    np.testing.assert_allclose(boxes[1, :, :2].mean(0), [10, 5], atol=1e-4)
+    np.testing.assert_allclose(boxes[2, :, :2].mean(0), [-8, 2], atol=1e-4)
+    assert record.tolist() == [1, 0, 1]
+
+
+def test_fix_cavs_box_injects_and_dedups():
+    """Car-sized agent markers join pred+gt sets with score 1.0; a
+    prediction overlapping an agent marker is NMS-deduped at IoU 0.01
+    (ref inference_utils.py:200 fix_cavs_box)."""
+    from coalign_tpu.utils.box_utils import boxes_to_corners_3d
+    from coalign_tpu.utils.heter import fix_cavs_box
+
+    poses = np.zeros((2, 6), dtype=np.float32)
+    poses[1, :2] = [12.0, 0.0]
+    mask = np.array([True, True])
+    # one detection far away + one sitting exactly on agent 1 (dup)
+    det7 = np.array([[30.0, 10.0, -1.0, 1.5, 2.0, 4.5, 0.0],
+                     [12.0, 0.0, -1.2, 1.5, 2.0, 4.5, 0.0]], np.float32)
+    det = np.asarray(boxes_to_corners_3d(det7, "hwl"))
+    gt = det[:1]
+    pred, scores, gt_out, n = fix_cavs_box(
+        det, np.array([0.9, 0.8], np.float32), gt, poses, mask)
+    assert n == 2
+    # 2 markers + far detection survive; the overlapping det is deduped
+    assert pred.shape[0] == 3
+    assert (scores == 1.0).sum() == 2
+    assert gt_out.shape[0] == 3  # 2 markers + 1 gt
+
+
 def test_subsampling():
     rng = np.random.default_rng(0)
     pts = rng.uniform(-5, 5, (500, 4)).astype(np.float32)
