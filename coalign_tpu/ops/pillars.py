@@ -304,6 +304,63 @@ def scatter_max_bev_nosentinel(point_feats, ids, valid, spec: PillarSpec):
     return jnp.maximum(bev, 0.0).reshape(spec.ny, spec.nx, -1)
 
 
+def _scatter_max_fwd_impl(point_feats, ids, valid, spec: PillarSpec):
+    num_seg = spec.ny * spec.nx + 1
+    neg = jnp.finfo(point_feats.dtype).min
+    feats = jnp.where(valid[:, None], point_feats, neg)
+    bev = jax.ops.segment_max(feats, ids, num_segments=num_seg,
+                              indices_are_sorted=True)
+    bev = jnp.maximum(bev[:-1], 0.0)
+    return bev.reshape(spec.ny, spec.nx, -1)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scatter_max_bev_cvjp(point_feats, ids, valid, spec: PillarSpec):
+    """scatter_max_bev (sorted ids) with a HAND-WRITTEN backward.
+
+    Autodiff of the segment_max + clamp chain emits FOUR full-canvas
+    gathers plus a second (winner-index) scatter per frame — device-traced
+    at ~9 ms of the 82 ms OPV2V-scale train step (v5e, 2026-08-20). The
+    max backward only needs: route each output cell's cotangent to the
+    valid points whose feature equals the cell's max. That is exactly TWO
+    row gathers (forward canvas + cotangent canvas) and no scatter.
+
+    Tie semantics match jax's segment_max VJP (every tying point receives
+    the full cotangent). The relu-clamp's exact-zero tie case (autodiff
+    would halve the cotangent there) is intentionally folded into the max
+    rule: a post-ReLU feature equal to 0.0 that wins its pillar gets the
+    full cotangent. Train-path only; numerics verified against autodiff in
+    tests/test_pillars.py.
+    """
+    return _scatter_max_fwd_impl(point_feats, ids, valid, spec)
+
+
+def _scatter_max_cvjp_fwd(point_feats, ids, valid, spec):
+    bev = _scatter_max_fwd_impl(point_feats, ids, valid, spec)
+    return bev, (point_feats, ids, valid, bev)
+
+
+def _scatter_max_cvjp_bwd(spec, res, g):
+    import numpy as _np
+
+    point_feats, ids, valid, bev = res
+    cells = spec.ny * spec.nx
+    c = point_feats.shape[-1]
+    safe = jnp.minimum(ids, cells - 1)
+    top = jnp.take(bev.reshape(cells, c), safe, axis=0)
+    gg = jnp.take(g.reshape(cells, c), safe, axis=0)
+    win = valid[:, None] & (point_feats == top)
+    gpts = jnp.where(win, gg, 0).astype(point_feats.dtype)
+    f0 = jax.dtypes.float0
+    return (gpts, _np.zeros(ids.shape, f0), _np.zeros(valid.shape, f0))
+
+
+scatter_max_bev_cvjp.defvjp(_scatter_max_cvjp_fwd, _scatter_max_cvjp_bwd)
+
+
 def pillar_count_bev(ids, valid, spec: PillarSpec):
     """(ny, nx) int32 point counts per pillar (useful for masks/debug)."""
     num_seg = spec.ny * spec.nx + 1

@@ -190,13 +190,27 @@ def warp_agents_to_ego(features, affines, agent_mask):
     # exact pixel centers is the identity map (the reference grid_samples
     # ego through the same identity, fusion_in_one.py:36-40), so skip its
     # gathers — 1/L of the warp cost, the program's largest gather bill
-    neigh = jax.vmap(warp_affine)(
-        features[:, 1:].reshape(b * (l - 1), h, w, c),
-        affines[:, 1:].reshape(b * (l - 1), 2, 3))
-    # ONE flat batch dim above: a nested vmap here lowers the bilinear
-    # gather to a multi-batch-dim XLA gather that is catastrophically slow
-    # on TPU (measured 5.5 ms vs 0.02 ms for the same work at 100x352x64xL5
-    # on a v5e — and some shapes fault the device); reshape instead.
-    warped = jnp.concatenate(
-        [features[:, :1], neigh.reshape(b, l - 1, h, w, c)], axis=1)
+    if b <= 8:
+        # UNROLL over frames: at the single-frame gather-table size
+        # ((l-1, h, w, c) ≈ 36 MB packed at OPV2V scale 0) XLA promotes
+        # the table into VMEM (S(1) scoped allocation) and the row gather
+        # runs ~3.6x faster than from HBM. One batched gather over
+        # B frames exceeds the promotion budget and every row comes from
+        # HBM — device-traced at B=4: 7.3 ms vs 4 x ~1.0 ms for the SAME
+        # bytes (2026-08-20, v5e). Frame unrolling keeps every table
+        # individually promotable; vmap is kept above B=8 where program
+        # size would grow unreasonably.
+        neigh = jnp.stack([
+            jax.vmap(warp_affine)(features[i, 1:], affines[i, 1:])
+            for i in range(b)])
+    else:
+        neigh = jax.vmap(warp_affine)(
+            features[:, 1:].reshape(b * (l - 1), h, w, c),
+            affines[:, 1:].reshape(b * (l - 1), 2, 3)
+        ).reshape(b, l - 1, h, w, c)
+    # ONE flat batch dim inside each gather: a nested vmap here lowers the
+    # bilinear gather to a multi-batch-dim XLA gather that is
+    # catastrophically slow on TPU (measured 5.5 ms vs 0.02 ms for the same
+    # work at 100x352x64xL5 on a v5e — and some shapes fault the device).
+    warped = jnp.concatenate([features[:, :1], neigh], axis=1)
     return warped * agent_mask[..., None, None, None].astype(features.dtype)

@@ -75,8 +75,12 @@ def create_train_state(model, batch, tx, rng=None):
     )
 
 
-def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
-    """Returns a jitted (state, batch) -> (state, metrics) step."""
+def make_train_step(model, loss_fn, anchor_spec: AnchorSpec,
+                    donate: bool = True):
+    """Returns a jitted (state, batch) -> (state, metrics) step.
+
+    donate=False keeps the input state buffers alive (needed when the same
+    state is fed repeatedly, e.g. profiling loops — examples/trace_step.py)."""
 
     from coalign_tpu.postprocess.dense_bev import (DenseBevSpec,
                                                    assign_dense_targets)
@@ -118,7 +122,7 @@ def make_train_step(model, loss_fn, anchor_spec: AnchorSpec):
         state = state.replace(batch_stats=new_stats)
         return state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def save_checkpoint(state: TrainState, ckpt_dir: str, step=0):

@@ -1,21 +1,23 @@
 """Device-trace the OPV2V-scale inference or train step and print a per-op
-cost table (top XLA ops by total device time).
+cost table (top XLA ops by device time, with HLO long names + bytes).
 
 The jax.profiler perfetto trace is parsed directly (trace.json.gz under
-<logdir>/plugins/perfetto) — no TensorBoard needed. Per-op absolute times
-carry instrumentation overhead on this remote stack (docs/PARITY.md), so
-treat the table as a RANKING with approximate shares, and always quote the
-untraced wall time next to it.
+<logdir>/plugins/perfetto) — no TensorBoard needed. Only events on the
+device process's "XLA Ops" track are counted, using their
+``device_duration_ps`` arg (the real on-device time, not the host span), so
+the table is trustworthy per-op data — unlike host-span parsing, which
+mixes Python dispatch events into the totals. The per-category rollup
+(convolution fusion / custom fusion (gathers+scatters) / data formatting /
+sort / ...) is the headline; docs/PARITY.md quotes it.
 
 Usage:
-    PYTHONPATH=/root/repo python examples/trace_step.py train [B]
-    PYTHONPATH=/root/repo python examples/trace_step.py infer [B]
+    PYTHONPATH=/root/.axon_site:/root/repo python examples/trace_step.py train [B]
+    PYTHONPATH=/root/.axon_site:/root/repo python examples/trace_step.py infer [B]
 """
 import glob
 import gzip
 import json
 import os
-import re
 import sys
 import tempfile
 import time
@@ -55,12 +57,7 @@ def untraced_ms(step, args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _canon(name: str) -> str:
-    """Collapse fusion instances: 'fusion.123' -> 'fusion', keep op kind."""
-    return re.sub(r"[._]\d+$", "", name)
-
-
-def per_op_table(logdir, iters):
+def per_op_table(logdir, iters, top=30):
     paths = glob.glob(os.path.join(logdir, "**", "*.json.gz"),
                       recursive=True)
     if not paths:
@@ -68,24 +65,51 @@ def per_op_table(logdir, iters):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"] if isinstance(trace, dict) else trace
-    # device tracks: pid/tid names containing TPU / device; fall back to
-    # "every complete event whose name looks like an HLO op"
-    totals = defaultdict(float)
-    counts = defaultdict(int)
-    for ev in events:
-        if not isinstance(ev, dict) or ev.get("ph") != "X":
+
+    # device pid(s) + their "XLA Ops" thread, from the metadata events
+    dev_pids, ops_tids = set(), {}
+    for e in events:
+        if e.get("ph") != "M":
             continue
-        name = ev.get("name", "")
-        cat = str(ev.get("cat", ""))
-        if "TensorFlow" in cat or "host" in cat.lower():
+        name = e.get("args", {}).get("name", "")
+        if e.get("name") == "process_name" and "/device:" in str(name):
+            dev_pids.add(e["pid"])
+        if e.get("name") == "thread_name" and name == "XLA Ops":
+            ops_tids[e["pid"]] = e["tid"]
+
+    dur = defaultdict(float)
+    cnt = defaultdict(int)
+    byts = defaultdict(float)
+    cat, lname = {}, {}
+    cat_dur = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if (e.get("ph") != "X" or e.get("pid") not in dev_pids
+                or e.get("tid") != ops_tids.get(e.get("pid"))):
             continue
-        dur = float(ev.get("dur", 0.0))
-        if dur <= 0:
+        a = e.get("args", {})
+        d = float(a.get("device_duration_ps", 0)) / 1e9  # ps -> ms
+        if d <= 0:
             continue
-        totals[_canon(name)] += dur
-        counts[_canon(name)] += 1
-    rows = sorted(totals.items(), key=lambda kv: -kv[1])
-    return [(name, us / iters / 1e3, counts[name]) for name, us in rows]
+        k = e.get("name", "")
+        dur[k] += d
+        cnt[k] += 1
+        byts[k] += float(a.get("bytes_accessed", 0))
+        cat[k] = a.get("hlo_category", "")
+        lname.setdefault(k, a.get("long_name", ""))
+        cat_dur[a.get("hlo_category", "?")] += d
+        total += d
+    print(f"device total {total / iters:.2f} ms/step")
+    print("-- by HLO category (ms/step) --")
+    for c, d in sorted(cat_dur.items(), key=lambda kv: -kv[1]):
+        if d / iters >= 0.01:
+            print(f"{d / iters:9.3f} ms  {c}")
+    print(f"-- top {top} ops --")
+    for k in sorted(dur, key=lambda k: -dur[k])[:top]:
+        mb = byts[k] / max(cnt[k], 1) / 1e6
+        print(f"{dur[k] / iters:9.3f} ms x{cnt[k] // iters:4d} "
+              f"{mb:9.1f} MB/call [{cat[k][:18]:18s}] {k}")
+        print(f"           {lname[k][:200]}")
 
 
 def main():
@@ -101,16 +125,11 @@ def main():
         loss_fn = build_loss(BB.LOSS_CFG)
         tx = build_optimizer({"lr": 1e-3, "args": {}}, None)
         state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
-        raw_step = make_train_step(model, loss_fn, spec)
-
-        # non-donating wrapper: donated buffers can't be reused across
-        # traced iterations
-        def step(s, b):
-            new_s, metrics = raw_step(
-                jax.tree_util.tree_map(lambda x: x + 0 if hasattr(
-                    x, "dtype") else x, s), b)
-            return metrics
-        args = (state, batch)
+        # donate=False: the traced loop feeds the SAME state every iteration
+        # (a donating step invalidates its input buffers; the eager per-leaf
+        # copy workaround polluted both the wall time and the trace)
+        step, args = make_train_step(model, loss_fn, spec,
+                                     donate=False), (state, batch)
     else:
         from coalign_tpu.inference import make_infer_fn
         infer = make_infer_fn(model, spec.anchors, BB.POSTPROCESS)
@@ -123,12 +142,7 @@ def main():
     logdir = tempfile.mkdtemp(prefix=f"trace_{which}_")
     iters = run_traced(step, args, logdir)
     print(f"=== {which} B={bs}: untraced wall {wall:.2f} ms/step ===")
-    rows = per_op_table(logdir, iters)
-    traced_total = sum(ms for _, ms, _ in rows)
-    print(f"traced device total {traced_total:.2f} ms/step "
-          f"(overhead-inflated; ranking only)")
-    for name, ms, n in rows[:25]:
-        print(f"{ms:9.3f} ms  x{n:4d}  {name[:90]}")
+    per_op_table(logdir, iters)
     print(f"trace dir: {logdir}")
 
 
