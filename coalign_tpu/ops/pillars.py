@@ -334,6 +334,14 @@ def scatter_max_bev_cvjp(point_feats, ids, valid, spec: PillarSpec):
     rule: a post-ReLU feature equal to 0.0 that wins its pillar gets the
     full cotangent. Train-path only; numerics verified against autodiff in
     tests/test_pillars.py.
+
+    The two backward gathers read IDENTICAL row indices, so they are packed
+    into ONE 2C-lane gather over channel-concatenated (forward ‖ cotangent)
+    canvases — the same native-lane-width pair packing that won in
+    ops/warp.py (C=64 -> 128 lanes). Device-traced 2026-08-20: the two
+    separate 64-ch gathers were 2.24 ms EACH of the 71 ms OPV2V train step
+    (latency-bound row fetches); packing halves the row fetches for one
+    concat of the two canvases.
     """
     return _scatter_max_fwd_impl(point_feats, ids, valid, spec)
 
@@ -350,8 +358,12 @@ def _scatter_max_cvjp_bwd(spec, res, g):
     cells = spec.ny * spec.nx
     c = point_feats.shape[-1]
     safe = jnp.minimum(ids, cells - 1)
-    top = jnp.take(bev.reshape(cells, c), safe, axis=0)
-    gg = jnp.take(g.reshape(cells, c), safe, axis=0)
+    packed = jnp.concatenate(
+        [bev.reshape(cells, c), g.reshape(cells, c).astype(bev.dtype)],
+        axis=-1)
+    rows = jnp.take(packed, safe, axis=0)
+    top = rows[:, :c]
+    gg = rows[:, c:].astype(g.dtype)
     win = valid[:, None] & (point_feats == top)
     gpts = jnp.where(win, gg, 0).astype(point_feats.dtype)
     f0 = jax.dtypes.float0

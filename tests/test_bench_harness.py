@@ -61,6 +61,9 @@ def test_main_still_runs_stages_when_probe_fails(monkeypatch, capsys):
         if args == ["train"]:
             return {"train_fps": 10.0, "train_step_time": 0.1,
                     "train_flops": 1e12}
+        if args == ["train4"]:
+            return {"train_fps": 15.0, "train_step_time": 0.26,
+                    "train_flops": 4e12}
         if args == ["data_plane"]:
             return {"data_plane_fps": 40.0, "native_parser": True}
         if args == ["system"]:
