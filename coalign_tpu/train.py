@@ -76,11 +76,24 @@ def create_train_state(model, batch, tx, rng=None):
 
 
 def make_train_step(model, loss_fn, anchor_spec: AnchorSpec,
-                    donate: bool = True):
+                    donate: bool = True, remat: str | None = None):
     """Returns a jitted (state, batch) -> (state, metrics) step.
 
     donate=False keeps the input state buffers alive (needed when the same
-    state is fed repeatedly, e.g. profiling loops — examples/trace_step.py)."""
+    state is fed repeatedly, e.g. profiling loops — examples/trace_step.py).
+
+    remat trades recompute for activation bytes on the byte-bound step
+    (the v5e train program moves >60 GB/step by XLA's buffer count):
+      None    store every forward intermediate (plain autodiff)
+      'dots'  save matmul/conv outputs, recompute elementwise chains
+              (jax.checkpoint_policies.checkpoint_dots)
+      'full'  save only the forward inputs, recompute the whole forward
+    Raced on the real v5e (B=4 OPV2V, 2026-08-20): both LOSE — 20.75
+    (none) vs 16.13 ('dots') vs 15.07 ('full') frames/s, XLA-counted
+    bytes RISING 104.6 -> 129.9 -> 139.1 GB/step: the step's bytes are
+    canvas gathers/scatters/layout copies, which remat re-EXECUTES rather
+    than avoids. Kept as a tested-and-rejected reference point and for
+    memory-limited configs ('full' cuts live activation memory)."""
 
     from coalign_tpu.postprocess.dense_bev import (DenseBevSpec,
                                                    assign_dense_targets)
@@ -109,10 +122,21 @@ def make_train_step(model, loss_fn, anchor_spec: AnchorSpec,
                 k + "_single": v.reshape((-1,) + v.shape[2:])
                 for k, v in singles.items()})
 
-        def loss_of(params):
-            out, mutated = state.apply_fn(
+        def fwd(params, batch):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True, mutable=["batch_stats"])
+
+        if remat == "full":
+            fwd = jax.checkpoint(fwd)
+        elif remat == "dots":
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.checkpoint_dots)
+        elif remat is not None:
+            raise ValueError(f"unknown remat policy: {remat!r}")
+
+        def loss_of(params):
+            out, mutated = fwd(params, batch)
             total, metrics = loss_fn(out, labels)
             return total, (metrics, mutated["batch_stats"])
 

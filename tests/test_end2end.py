@@ -129,3 +129,35 @@ def test_train_step_runs_on_mesh():
     assert len(jax.devices()) == 8
     np.testing.assert_allclose(float(m_single["total_loss"]),
                                float(m_mesh["total_loss"]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("policy", ["dots", "full"])
+def test_train_step_remat_parity(policy):
+    """remat trades recompute for activation bytes; it must not change the
+    step's math — same loss and same updated params as plain autodiff."""
+    import optax
+
+    dataset, batcher, model, spec, loss_fn = _setup()
+    batch = batcher.assemble([dataset[0]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    # SGD, not Adam: Adam's first step is sign-like (±lr), so a near-zero
+    # grad element whose sign flips under remat's re-ordered bf16 rounding
+    # would show as a full ±2lr param jump; under SGD the param delta is
+    # proportional to the grad and the tolerance means what it says.
+    tx = optax.sgd(1e-2)
+
+    state0 = create_train_state(model, batch, tx, jax.random.PRNGKey(3))
+    s_ref, m_ref = make_train_step(model, loss_fn, spec,
+                                   donate=False)(state0, batch)
+
+    state1 = create_train_state(model, batch, tx, jax.random.PRNGKey(3))
+    s_rmt, m_rmt = make_train_step(model, loss_fn, spec, donate=False,
+                                   remat=policy)(state1, batch)
+
+    np.testing.assert_allclose(float(m_ref["total_loss"]),
+                               float(m_rmt["total_loss"]), rtol=1e-5)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    rmt_leaves = jax.tree_util.tree_leaves(s_rmt.params)
+    for a, b in zip(ref_leaves, rmt_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
