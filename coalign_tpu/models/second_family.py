@@ -76,15 +76,46 @@ class _VoxelBase(nn.Module):
         # height-compressed channel count — checkpoint-compatible.
         return jnp.pad(grid, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
 
+    def _use_sparse(self) -> bool:
+        """Dense masked 3D conv vs the sparse active-voxel backbone
+        (ops/sparse_conv.py). 'auto' picks sparse once the grid is too
+        big for dense conv buffers: at the reference's 0.1 m voxels the
+        OPV2V grid is 96 M cells and XLA asked for a 98 GB pad buffer
+        (measured; sparse_conv.py module docstring), while toy/test grids
+        stay dense — the cheaper form at tiny scale and the numerics
+        oracle the sparse path is gated against."""
+        cfg = self.args.get("backbone_3d", self.args.get("spconv", {}))
+        mode = cfg.get("sparse", "auto")
+        if mode == "auto":
+            return self.spec.num_voxels > (1 << 22)
+        return bool(mode)
+
     def _bev_features(self, batch, train):
         """Voxelize -> 3D backbone -> height compression -> (F, H/8, W/8, C)."""
+        # "spconv" is the reference second_ssfa.py arg name for the
+        # same block — accept both so a reference config.yaml works
+        cfg = self.args.get("backbone_3d", self.args.get("spconv", {}))
+        out_features = cfg.get("num_features_out", 128)
+        if self._use_sparse():
+            from coalign_tpu.models.voxel_backbone import (
+                SparseVoxelBackbone8x)
+            from coalign_tpu.ops.sparse_conv import (sparse_mean_voxelize,
+                                                     to_dense)
+
+            points, mask = batch["points"], batch["point_mask"]
+            if points.ndim == 4:
+                points = points.reshape((-1,) + points.shape[2:])
+                mask = mask.reshape((-1,) + mask.shape[2:])
+            grid = sparse_mean_voxelize(
+                points, mask, self.spec,
+                max_voxels=int(cfg.get("max_voxels", 70000)), pad_z=1)
+            feats = SparseVoxelBackbone8x(
+                out_features=out_features,
+                name="VoxelBackbone8x_0")(grid, train=train)
+            return height_compression(to_dense(feats["out"]))
         grid = self._voxelize(batch)
-        feats = VoxelBackbone8x(
-            # "spconv" is the reference second_ssfa.py arg name for the
-            # same block — accept both so a reference config.yaml works
-            out_features=self.args.get(
-                "backbone_3d", self.args.get("spconv", {})).get(
-                "num_features_out", 128))(grid, train=train)
+        feats = VoxelBackbone8x(out_features=out_features,
+                                name="VoxelBackbone8x_0")(grid, train=train)
         return height_compression(feats["out"])
 
 

@@ -165,3 +165,99 @@ class SSFA(nn.Module):
         w1 = MaskedBatchNorm()(w1, train=train)
         w = nn.softmax(jnp.concatenate([w0, w1], axis=-1), axis=-1)
         return o0 * w[..., 0:1] + o1 * w[..., 1:2]
+
+
+class _SparseKernel(nn.Module):
+    """Holds one conv kernel under the same param path nn.Conv would use
+    (``.../Conv_0/kernel``) so dense- and sparse-backbone checkpoints are
+    interchangeable."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class SparseConv3DBNReLU(nn.Module):
+    """Sparse twin of :class:`Conv3DBNReLU`: subm or strided sparse conv
+    on a SparseGrid + masked BN + ReLU. BN statistics run over ACTIVE
+    sites only — the reference's BatchNorm1d-over-features semantics
+    (spconv stores (N, C) feature tables); the dense twin's unmasked BN
+    sees the empty cells too, so train-mode statistics differ (eval mode
+    is identical given identical params)."""
+
+    features: int
+    kernel: tuple = (3, 3, 3)
+    stride: tuple = (1, 1, 1)
+    padding: tuple = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, grid, out_set=None, train: bool = False):
+        from coalign_tpu.ops.sparse_conv import strided_conv, subm_conv
+
+        cin = grid.feats.shape[-1]
+        w = _SparseKernel(self.kernel + (cin, self.features),
+                          name="Conv_0")()
+        if out_set is None:
+            out = subm_conv(grid, w)
+        else:
+            out = strided_conv(grid, w, out_set, stride=self.stride,
+                               pad=self.padding)
+        y = MaskedBatchNorm()(out.feats, mask=out.valid, train=train)
+        y = nn.relu(y) * out.valid[..., None].astype(y.dtype)
+        return out._replace(feats=y)
+
+
+class SparseVoxelBackbone8x(nn.Module):
+    """Sparse twin of :class:`VoxelBackbone8x` — same stage/channel plan,
+    same param tree (checkpoints load in either), but the grid stays a
+    fixed-shape active-voxel table end to end (ops/sparse_conv.py). This
+    is the ONLY viable form at the reference's 0.1 m voxel scale: the
+    dense twin's padded conv buffers need ~98 GB on the OPV2V SECOND grid
+    (module docstring of ops/sparse_conv.py).
+
+    Input: SparseGrid over the z-padded (nz+1, ny, nx) voxel grid.
+    Returns per-stage SparseGrids + the z-squashed "out" stage.
+    """
+
+    out_features: int = 128
+
+    @nn.compact
+    def __call__(self, grid, train: bool = False):
+        from coalign_tpu.ops.sparse_conv import downsample_active
+
+        def conv(i, feats, g, out_set=None, **kw):
+            return SparseConv3DBNReLU(feats, name=f"Conv3DBNReLU_{i}",
+                                      **kw)(g, out_set, train=train)
+
+        x = conv(0, 16, grid)
+        x1 = conv(1, 16, x)
+
+        s2 = downsample_active(x1)
+        x = conv(2, 32, x1, s2, stride=(2, 2, 2))
+        x = conv(3, 32, x)
+        x2 = conv(4, 32, x)
+
+        s3 = downsample_active(x2)
+        x = conv(5, 64, x2, s3, stride=(2, 2, 2))
+        x = conv(6, 64, x)
+        x3 = conv(7, 64, x)
+
+        d3 = x3.shape[0]
+        pz = 0 if (d3 - 3) // 2 + 1 >= 1 else 1
+        s4 = downsample_active(x3, pad=(pz, 1, 1))
+        x = conv(8, 64, x3, s4, stride=(2, 2, 2), padding=(pz, 1, 1))
+        x = conv(9, 64, x)
+        x4 = conv(10, 64, x)
+
+        d4 = x4.shape[0]
+        kz = min(3, d4)
+        sz = 2 if d4 > kz else 1
+        s5 = downsample_active(x4, kernel=(kz, 1, 1), stride=(sz, 1, 1),
+                               pad=(0, 0, 0))
+        out = conv(11, self.out_features, x4, s5, kernel=(kz, 1, 1),
+                   stride=(sz, 1, 1), padding=(0, 0, 0))
+        return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3, "x_conv4": x4,
+                "out": out}
