@@ -383,7 +383,9 @@ def stage_system(bs: int = 1):
             held: list = []
             for batch in feed:
                 held.append(infer_packed(variables, batch))
-                frames += bs
+                # count from the batch itself: with drop_last=False a
+                # final partial batch has leading dim < bs (ADVICE r4 #1)
+                frames += int(batch["gt_boxes"].shape[0])
                 if len(held) >= chunk:
                     q.put(jnp.concatenate(held, axis=0))
                     held = []

@@ -103,6 +103,14 @@ def load_second_params(param: dict) -> dict:
         (np.array(cav_lidar_range[3:6]) - np.array(cav_lidar_range[0:3]))
         / np.array(voxel_size)).astype(np.int64)
     param["model"]["args"]["grid_size"] = grid_size.tolist()
+    # plumb the preprocessor's voxel caps into the model: voxelization is
+    # on-device inside the model here, so the sparse backbone must see the
+    # same train/test caps the reference's SpVoxelPreprocessor applies
+    # (ref sp_voxel_preprocessor.py:22 — 32000 train / 70000 test)
+    for cap in ("max_voxel_train", "max_voxel_test"):
+        if cap in param["preprocess"]["args"]:
+            param["model"]["args"].setdefault(
+                cap, param["preprocess"]["args"][cap])
     return _fill_anchor_grid_args(param)
 
 

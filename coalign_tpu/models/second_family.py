@@ -106,9 +106,15 @@ class _VoxelBase(nn.Module):
             if points.ndim == 4:
                 points = points.reshape((-1,) + points.shape[2:])
                 mask = mask.reshape((-1,) + mask.shape[2:])
-            grid = sparse_mean_voxelize(
-                points, mask, self.spec,
-                max_voxels=int(cfg.get("max_voxels", 70000)), pad_z=1)
+            # voxel cap: the reference's SpVoxelPreprocessor caps train at
+            # max_voxel_train and eval at max_voxel_test (32000/70000 in
+            # the OPV2V yamls); load_second_params plumbs those into model
+            # args. backbone_3d.max_voxels remains an explicit override.
+            cap = self.args.get("max_voxel_train" if train
+                                else "max_voxel_test")
+            cap = int(cfg.get("max_voxels", cap or 70000))
+            grid = sparse_mean_voxelize(points, mask, self.spec,
+                                        max_voxels=cap, pad_z=1)
             feats = SparseVoxelBackbone8x(
                 out_features=out_features,
                 name="VoxelBackbone8x_0")(grid, train=train)

@@ -130,6 +130,25 @@ def sparse_mean_voxelize(points, mask, spec, max_voxels: int,
                       shape=(spec.nz + pad_z, spec.ny, spec.nx))
 
 
+def occupancy_overflow(points, mask, spec, max_voxels: int):
+    """Number of DISTINCT occupied voxels a frame would silently drop at
+    ``max_voxels`` ([F,] scalar int32) — run it when tuning the cap:
+    :func:`sparse_mean_voxelize` truncates deterministically in key order
+    (the reference drops by point arrival order, a documented divergence,
+    ADVICE r4 #4), so a nonzero overflow means the high-key (high-z/high-y)
+    tail of the scene is gone."""
+    if points.ndim == 3:
+        return jax.vmap(lambda p, m: occupancy_overflow(
+            p, m, spec, max_voxels))(points, mask)
+    from coalign_tpu.ops.voxels import voxel_ids
+
+    ids, valid = voxel_ids(points, mask, spec)
+    ids_s = jnp.sort(jnp.where(valid, ids, spec.num_voxels))
+    uniq = jnp.concatenate([jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]])
+    n_occ = jnp.sum((uniq & (ids_s < spec.num_voxels)).astype(jnp.int32))
+    return jnp.maximum(n_occ - max_voxels, 0)
+
+
 def _lookup(keys, queries, valid_table):
     """Row index of each query key in the sorted table, -1 if absent."""
     idx = jnp.searchsorted(keys, queries)

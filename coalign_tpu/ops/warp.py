@@ -190,16 +190,19 @@ def warp_agents_to_ego(features, affines, agent_mask):
     # exact pixel centers is the identity map (the reference grid_samples
     # ego through the same identity, fusion_in_one.py:36-40), so skip its
     # gathers — 1/L of the warp cost, the program's largest gather bill
-    if b <= 8:
-        # UNROLL over frames: at the single-frame gather-table size
-        # ((l-1, h, w, c) ≈ 36 MB packed at OPV2V scale 0) XLA promotes
+    if b <= 8 and jax.default_backend() == "tpu":
+        # UNROLL over frames, TPU ONLY: at the single-frame gather-table
+        # size ((l-1, h, w, c) ≈ 36 MB packed at OPV2V scale 0) XLA promotes
         # the table into VMEM (S(1) scoped allocation) and the row gather
         # runs ~3.6x faster than from HBM. One batched gather over
         # B frames exceeds the promotion budget and every row comes from
         # HBM — device-traced at B=4: 7.3 ms vs 4 x ~1.0 ms for the SAME
         # bytes (2026-08-20, v5e). Frame unrolling keeps every table
         # individually promotable; vmap is kept above B=8 where program
-        # size would grow unreasonably.
+        # size would grow unreasonably. On CPU the unroll is a pure loss
+        # (no VMEM to promote into, B× the program size): it blew the
+        # 8-device virtual-mesh dryrun from 78 s to 322 s and timed out
+        # MULTICHIP_r04 — hence the backend gate (VERDICT r4 #1).
         neigh = jnp.stack([
             jax.vmap(warp_affine)(features[i, 1:], affines[i, 1:])
             for i in range(b)])
