@@ -194,17 +194,24 @@ class SparseConv3DBNReLU(nn.Module):
     padding: tuple = (1, 1, 1)
 
     @nn.compact
-    def __call__(self, grid, out_set=None, train: bool = False):
+    def __call__(self, grid, out_set=None, train: bool = False,
+                 rulebook=None):
+        from coalign_tpu.models.layers import compute_dtype
         from coalign_tpu.ops.sparse_conv import strided_conv, subm_conv
 
+        if compute_dtype() is not None:
+            # bf16 feature tables: halves the row-gather bytes (the sparse
+            # path's dominant HBM traffic) and feeds the MXU its native
+            # dtype; params + BN statistics stay float32
+            grid = grid._replace(feats=grid.feats.astype(compute_dtype()))
         cin = grid.feats.shape[-1]
         w = _SparseKernel(self.kernel + (cin, self.features),
                           name="Conv_0")()
         if out_set is None:
-            out = subm_conv(grid, w)
+            out = subm_conv(grid, w, rulebook=rulebook)
         else:
             out = strided_conv(grid, w, out_set, stride=self.stride,
-                               pad=self.padding)
+                               pad=self.padding, rulebook=rulebook)
         y = MaskedBatchNorm()(out.feats, mask=out.valid, train=train)
         y = nn.relu(y) * out.valid[..., None].astype(y.dtype)
         return out._replace(feats=y)
@@ -226,31 +233,39 @@ class SparseVoxelBackbone8x(nn.Module):
 
     @nn.compact
     def __call__(self, grid, train: bool = False):
-        from coalign_tpu.ops.sparse_conv import downsample_active
+        from coalign_tpu.ops.sparse_conv import (downsample_active,
+                                                 subm_rulebook)
 
-        def conv(i, feats, g, out_set=None, **kw):
+        def conv(i, feats, g, out_set=None, rulebook=None, **kw):
             return SparseConv3DBNReLU(feats, name=f"Conv3DBNReLU_{i}",
-                                      **kw)(g, out_set, train=train)
+                                      **kw)(g, out_set, train=train,
+                                            rulebook=rulebook)
 
-        x = conv(0, 16, grid)
-        x1 = conv(1, 16, x)
+        # one subm rulebook per stage, shared by that stage's chained subm
+        # convs — the active set (hence the rulebook) is feature-invariant
+        rb1 = subm_rulebook(grid)
+        x = conv(0, 16, grid, rulebook=rb1)
+        x1 = conv(1, 16, x, rulebook=rb1)
 
         s2 = downsample_active(x1)
         x = conv(2, 32, x1, s2, stride=(2, 2, 2))
-        x = conv(3, 32, x)
-        x2 = conv(4, 32, x)
+        rb2 = subm_rulebook(x)
+        x = conv(3, 32, x, rulebook=rb2)
+        x2 = conv(4, 32, x, rulebook=rb2)
 
         s3 = downsample_active(x2)
         x = conv(5, 64, x2, s3, stride=(2, 2, 2))
-        x = conv(6, 64, x)
-        x3 = conv(7, 64, x)
+        rb3 = subm_rulebook(x)
+        x = conv(6, 64, x, rulebook=rb3)
+        x3 = conv(7, 64, x, rulebook=rb3)
 
         d3 = x3.shape[0]
         pz = 0 if (d3 - 3) // 2 + 1 >= 1 else 1
         s4 = downsample_active(x3, pad=(pz, 1, 1))
         x = conv(8, 64, x3, s4, stride=(2, 2, 2), padding=(pz, 1, 1))
-        x = conv(9, 64, x)
-        x4 = conv(10, 64, x)
+        rb4 = subm_rulebook(x)
+        x = conv(9, 64, x, rulebook=rb4)
+        x4 = conv(10, 64, x, rulebook=rb4)
 
         d4 = x4.shape[0]
         kz = min(3, d4)

@@ -149,13 +149,78 @@ def occupancy_overflow(points, mask, spec, max_voxels: int):
     return jnp.maximum(n_occ - max_voxels, 0)
 
 
-def _lookup(keys, queries, valid_table):
-    """Row index of each query key in the sorted table, -1 if absent."""
-    idx = jnp.searchsorted(keys, queries)
+def _lookup(keys, queries):
+    """Row index of each query key in the sorted table, -1 if absent.
+    Accepts (M,)/(Q,) single-frame or (F, M)/(F, Q) batched tables; the
+    batched return indexes each frame's own table.
+
+    method='sort' is load-bearing: the default 'scan' binary search
+    compiles to a 17-iteration while loop of SCALAR gathers over the
+    (27*M,) query set — measured 1235 ms per conv's lookups at SECOND
+    scale (M=70k, 5 frames) vs 6 ms for the single-sort merge (v5e,
+    2026-08-20). The scan whiles were ~21 s of the 25.7 s device total
+    in the first on-chip SECOND trace.
+
+    No validity gather: invalid table rows hold the sentinel key and
+    out-of-bounds queries are sentinel+1, so a key match already implies
+    a valid row (the pred[27M] gather this replaces measured 91 ms/conv).
+
+    The verification gather runs on the FLATTENED key table: a batched
+    (vmapped) gather of 9.45M scalars measured 70-78 ms where the same
+    gather with global indices on the flat table is ~27 ms (v5e) — XLA
+    lowers batch-dim gathers much worse than plain ones."""
+    if keys.ndim == 2:
+        f, m = keys.shape
+        idx = jax.vmap(lambda k, q: jnp.searchsorted(k, q, method="sort"))(
+            keys, queries)
+        idx_c = jnp.minimum(idx, m - 1)
+        gidx = idx_c + (jnp.arange(f, dtype=idx.dtype) * m).reshape(
+            (f,) + (1,) * (idx.ndim - 1))
+        found = keys.reshape(-1)[gidx.reshape(-1)].reshape(
+            queries.shape) == queries
+        return jnp.where(found, idx_c, -1), found
+    idx = jnp.searchsorted(keys, queries, method="sort")
     m = keys.shape[0]
     idx_c = jnp.minimum(idx, m - 1)
-    found = (keys[idx_c] == queries) & valid_table[idx_c]
+    found = keys[idx_c] == queries
     return jnp.where(found, idx_c, -1), found
+
+
+# Rank-canvas lookup budget: make_rulebook answers its queries through a
+# dense (F*ncells,) int32 canvas (memset -1, scatter row ranks, one gather)
+# whenever that canvas fits the budget; above it, the sort-merge lookup
+# runs instead. The canvas replaces BOTH the searchsorted sort (~90 ms +
+# ~57 ms of sort-prep per rulebook at SECOND scale) and the key-verify
+# gather (~62 ms) with a ~2.5 ms memset + scatter + the same-cost gather —
+# measured 8 rulebooks: ~1.7 s -> ~0.5 s (v5e, 2026-08-20). 4 GB covers
+# OPV2V SECOND inference (5 frames x 96 M cells x 4 B = 1.9 GB transient);
+# a B=4 training batch (20 frames) exceeds it at L0 and falls back to sort.
+CANVAS_BUDGET_BYTES = 4 << 30
+
+
+def _lookup_canvas(keys, valid, queries, ncells):
+    """Rank-canvas lookup: same contract as :func:`_lookup` but O(1) per
+    query through a dense per-cell row map. keys/valid ([F,] M), queries
+    ([F,] Q) with out-of-range markers > ncells-1. Returns (idx, found)
+    where idx indexes each frame's own table."""
+    if keys.ndim == 2:
+        f, m = keys.shape
+        base = (jnp.arange(f, dtype=jnp.int32) * ncells)[:, None]
+        dump = f * ncells
+        gkeys = jnp.where(valid, keys + base, dump)
+        canvas = jnp.full((f * ncells + 2,), -1, jnp.int32)
+        ranks = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (f, m))
+        canvas = canvas.at[gkeys.reshape(-1)].set(ranks.reshape(-1))
+        gq = jnp.where(queries < ncells, queries + base, dump + 1)
+        idx = canvas[gq.reshape(-1)].reshape(queries.shape)
+        return idx, idx >= 0
+    canvas = jnp.full((ncells + 2,), -1, jnp.int32)
+    m = keys.shape[0]
+    gkeys = jnp.where(valid, keys, ncells)
+    canvas = canvas.at[gkeys].set(jnp.arange(m, dtype=jnp.int32))
+    gq = jnp.where(queries < ncells, queries, ncells + 1)
+    idx = canvas[gq.reshape(-1)].reshape(queries.shape)
+    return idx, idx >= 0
 
 
 def _offset_grid(kernel):
@@ -167,25 +232,77 @@ def _offset_grid(kernel):
     return dz.reshape(-1), dy.reshape(-1), dx.reshape(-1)
 
 
-def gather_neighbors(grid: SparseGrid, out_keys, out_valid, in_coord_of_out,
-                     kernel):
-    """(K, Mout, C) neighbor features for every kernel tap of every output
-    site. ``in_coord_of_out``: (iz, iy, ix) of each output site's receptive-
-    field CENTER in input-grid coordinates."""
+def make_rulebook(grid: SparseGrid, out_valid, in_coord_of_out, kernel):
+    """(idx, found), each ([F,] K, Mout): row indices into ``grid``'s
+    feature table for every kernel tap of every output site, and whether
+    that neighbor exists. ``in_coord_of_out``: (iz, iy, ix) of each output
+    site's receptive-field CENTER in input-grid coordinates (each [F,]
+    Mout). Batched inputs produce a batched rulebook whose idx indexes
+    each frame's own table.
+
+    The rulebook depends only on the ACTIVE SETS, not the features — the
+    backbone computes it once per (input grid, output grid) pair and
+    reuses it across consecutive convs (each lookup costs a sort + a
+    scalar gather over 27*Mout queries; sharing it across the 2-3 convs
+    per stage removes that many sort+gather rounds)."""
     nz, ny, nx = grid.shape
+    batched = grid.keys.ndim == 2
     dz, dy, dx = _offset_grid(kernel)  # (K,)
-    cz, cy, cx = in_coord_of_out  # (Mout,)
-    qz = cz[None, :] + dz[:, None]
-    qy = cy[None, :] + dy[:, None]
-    qx = cx[None, :] + dx[:, None]
-    inb = ((qz >= 0) & (qz < nz) & (qy >= 0) & (qy < ny)
-           & (qx >= 0) & (qx < nx) & out_valid[None, :])
-    q = jnp.where(inb, _flat(qz, qy, qx, grid.shape), grid.sentinel + 1)
-    idx, found = _lookup(grid.keys, q.reshape(-1), grid.valid)
-    rows = jnp.take(grid.feats, jnp.maximum(idx, 0), axis=0)
-    rows = rows * found[:, None].astype(rows.dtype)
     k = dz.shape[0]
-    return rows.reshape(k, out_keys.shape[0], -1)
+    tap = (slice(None),) + (None,) * (1 + int(batched))
+    dz, dy, dx = dz[tap], dy[tap], dx[tap]  # (K, [F,] 1)
+    cz, cy, cx = (c[None] for c in in_coord_of_out)  # (1, [F,] Mout)
+    qz = cz + dz
+    qy = cy + dy
+    qx = cx + dx
+    inb = ((qz >= 0) & (qz < nz) & (qy >= 0) & (qy < ny)
+           & (qx >= 0) & (qx < nx) & out_valid[None])
+    q = jnp.where(inb, _flat(qz, qy, qx, grid.shape), grid.sentinel + 1)
+    nframes = grid.keys.shape[0] if batched else 1
+    use_canvas = nframes * grid.sentinel * 4 <= CANVAS_BUDGET_BYTES
+    if batched:
+        f, mo = out_valid.shape
+        q = jnp.moveaxis(q, 1, 0).reshape(f, k * mo)  # (F, K*Mout)
+        if use_canvas:
+            idx, found = _lookup_canvas(grid.keys, grid.valid, q,
+                                        grid.sentinel)
+        else:
+            idx, found = _lookup(grid.keys, q)
+        idx = jnp.moveaxis(idx.reshape(f, k, mo), 0, 1)
+        found = jnp.moveaxis(found.reshape(f, k, mo), 0, 1)
+        return idx, found
+    if use_canvas:
+        idx, found = _lookup_canvas(grid.keys, grid.valid, q.reshape(-1),
+                                    grid.sentinel)
+    else:
+        idx, found = _lookup(grid.keys, q.reshape(-1))
+    return idx.reshape(k, -1), found.reshape(k, -1)
+
+
+def gather_neighbors(grid: SparseGrid, rulebook):
+    """([F,] K, Mout, C) neighbor features for a precomputed rulebook.
+
+    Missing taps gather an appended zero row of the FLAT feature table
+    (global indices) instead of masking gathered rows — one plain gather,
+    no batch dims, no (K*Mout, C)-sized mask multiply."""
+    idx, found = rulebook
+    c = grid.feats.shape[-1]
+    if grid.keys.ndim == 2:
+        f, m = grid.keys.shape
+        k, mo = idx.shape[0], idx.shape[2]
+        flat = jnp.concatenate(
+            [grid.feats.reshape(f * m, c),
+             jnp.zeros((1, c), grid.feats.dtype)], axis=0)
+        base = (jnp.arange(f, dtype=idx.dtype) * m)[None, :, None]
+        gidx = jnp.where(found, idx + base, f * m)
+        rows = jnp.take(flat, gidx.reshape(-1), axis=0)
+        return rows.reshape(k, f, mo, c)
+    flat = jnp.concatenate(
+        [grid.feats, jnp.zeros((1, c), grid.feats.dtype)], axis=0)
+    m = grid.feats.shape[0]
+    gidx = jnp.where(found, idx, m)
+    rows = jnp.take(flat, gidx.reshape(-1), axis=0)
+    return rows.reshape(idx.shape[0], idx.shape[1], -1)
 
 
 def _vmap_grid(fn, *grids):
@@ -210,19 +327,40 @@ def _vmap_grid(fn, *grids):
     return SparseGrid(ks, fs, vs, out_shape["s"])
 
 
-def subm_conv(grid: SparseGrid, weights):
-    """Submanifold sparse conv (SubMConv3d): outputs live at the INPUT
-    active sites; missing neighbors contribute zero.
+def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)):
+    """Rulebook of a submanifold conv: outputs at the input active sites."""
+    return make_rulebook(grid, grid.valid, _coords(grid.keys, grid.shape),
+                         kernel)
 
-    weights: (kz, ky, kx, Cin, Cout) — nn.Conv kernel layout."""
-    if grid.keys.ndim == 2:
-        return _vmap_grid(lambda g: subm_conv(g, weights), grid)
-    kernel = weights.shape[:3]
-    taps = gather_neighbors(grid, grid.keys, grid.valid,
-                            _coords(grid.keys, grid.shape), kernel)
+
+def _apply_conv(grid, weights, rulebook, out_valid):
+    taps = gather_neighbors(grid, rulebook)
     w = weights.reshape(-1, weights.shape[3], weights.shape[4])
-    out = jnp.einsum("omc,ocd->md", taps.astype(w.dtype), w)
-    out = out * grid.valid[:, None].astype(out.dtype)
+    w = w.astype(taps.dtype)
+    # MXU-friendly: multiply in the feature-table dtype (bf16 under the
+    # mixed-precision policy), accumulate f32
+    if taps.ndim == 4:  # batched (K, F, Mout, C)
+        out = jnp.einsum("ofmc,ocd->fmd", taps, w,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("omc,ocd->md", taps, w,
+                         preferred_element_type=jnp.float32)
+    out = out.astype(taps.dtype)
+    return out * out_valid[..., None].astype(out.dtype)
+
+
+def subm_conv(grid: SparseGrid, weights, rulebook=None):
+    """Submanifold sparse conv (SubMConv3d): outputs live at the INPUT
+    active sites; missing neighbors contribute zero. Single-frame or
+    batched grids alike (no lifted vmap: the gathers and the einsum are
+    batch-aware, see gather_neighbors).
+
+    weights: (kz, ky, kx, Cin, Cout) — nn.Conv kernel layout.
+    rulebook: optional precomputed :func:`subm_rulebook` (the active set
+    is feature-independent, so chained subm convs share one)."""
+    if rulebook is None:
+        rulebook = subm_rulebook(grid, weights.shape[:3])
+    out = _apply_conv(grid, weights, rulebook, grid.valid)
     return grid._replace(feats=out)
 
 
@@ -284,26 +422,27 @@ def downsample_active(grid: SparseGrid, kernel=(3, 3, 3), stride=(2, 2, 2),
                       valid=vmask, shape=oshape)
 
 
-def strided_conv(grid: SparseGrid, weights, out_grid: SparseGrid,
-                 stride=(2, 2, 2), pad=(1, 1, 1)):
-    """Strided sparse conv (SparseConv3d) from ``grid`` onto the active
-    set ``out_grid`` (from :func:`downsample_active`).
-
-    weights: (kz, ky, kx, Cin, Cout). Output site j reads input sites
+def strided_rulebook(grid: SparseGrid, out_grid: SparseGrid, kernel,
+                     stride=(2, 2, 2), pad=(1, 1, 1)):
+    """Rulebook of a strided conv: output site j reads input sites
     j*s - p + (0..k-1); expressed as center + centered offsets so
-    :func:`gather_neighbors` serves both conv kinds."""
-    if grid.keys.ndim == 2:
-        return _vmap_grid(lambda g, o: strided_conv(g, weights, o, stride,
-                                                    pad), grid, out_grid)
-    kernel = weights.shape[:3]
+    :func:`make_rulebook` serves both conv kinds."""
     oz, oy, ox = _coords(out_grid.keys, out_grid.shape)
     center = tuple(o * s - p + k // 2 for o, s, p, k in
                    zip((oz, oy, ox), stride, pad, kernel))
-    taps = gather_neighbors(grid, out_grid.keys, out_grid.valid, center,
-                            kernel)
-    w = weights.reshape(-1, weights.shape[3], weights.shape[4])
-    out = jnp.einsum("omc,ocd->md", taps.astype(w.dtype), w)
-    out = out * out_grid.valid[:, None].astype(out.dtype)
+    return make_rulebook(grid, out_grid.valid, center, kernel)
+
+
+def strided_conv(grid: SparseGrid, weights, out_grid: SparseGrid,
+                 stride=(2, 2, 2), pad=(1, 1, 1), rulebook=None):
+    """Strided sparse conv (SparseConv3d) from ``grid`` onto the active
+    set ``out_grid`` (from :func:`downsample_active`).
+
+    weights: (kz, ky, kx, Cin, Cout)."""
+    if rulebook is None:
+        rulebook = strided_rulebook(grid, out_grid, weights.shape[:3],
+                                    stride, pad)
+    out = _apply_conv(grid, weights, rulebook, out_grid.valid)
     return out_grid._replace(feats=out)
 
 
