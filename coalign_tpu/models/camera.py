@@ -237,6 +237,15 @@ class _LSSBase(nn.Module):
             depth = jax.nn.one_hot(idx, spec.depth_bins, axis=-1)
         else:
             depth = jax.nn.softmax(depth_logits, axis=-1)
+        from coalign_tpu.models.layers import compute_dtype
+        if compute_dtype() is not None:
+            # bf16 lift + splat under the mixed-precision policy: the
+            # (F, N, D, fH, fW, C) lifted tensor and the voxel_pool
+            # scatter-add are the LSS step's dominant HBM traffic
+            # (64 ms of the 152 ms step was the f32 splat; v5e trace,
+            # 2026-08-20). The downstream BEV encoder is bf16 anyway.
+            depth = depth.astype(compute_dtype())
+            context = context.astype(compute_dtype())
         # outer product: (fH, fW, D) x (fH, fW, C) -> (D, fH, fW, C)
         feats = jnp.moveaxis(depth[..., None] * context[..., None, :],
                              -2, -4)

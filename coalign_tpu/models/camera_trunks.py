@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,12 +68,25 @@ def upsample_align_corners(x, scale: int):
         i0 = np.minimum(np.floor(src).astype(np.int32), n_in - 2)
         return i0, i0 + 1, (src - i0).astype(np.float32)
 
-    y0, y1, ty = grid(h, oh)
-    x0, x1, tx = grid(w, ow)
-    ty = jnp.asarray(ty, x.dtype)[None, :, None, None]
-    tx = jnp.asarray(tx, x.dtype)[None, None, :, None]
-    rows = x[:, y0] * (1 - ty) + x[:, y1] * ty
-    return rows[:, :, x0] * (1 - tx) + rows[:, :, x1] * tx
+    def interp_matrix(n_in, n_out):
+        """(n_out, n_in) corner-aligned lerp weights as a dense matrix:
+        the resize becomes two small matmuls the MXU tiles natively. The
+        gather formulation (x[:, y0] * (1-t) + x[:, y1] * t) lowered the
+        minor-axis gather to an 80-step XLA while loop of dynamic-update-
+        slices — ~34 ms of the 152 ms LSS step (v5e trace, 2026-08-20)."""
+        i0, i1, t = grid(n_in, n_out)
+        m = np.zeros((n_out, n_in), np.float32)
+        m[np.arange(n_out), i0] += 1.0 - t
+        m[np.arange(n_out), i1] += t
+        return m
+
+    # HIGHEST: keeps f32 inputs exact (TPU default would round the lerp
+    # weights to bf16); the matrices are tiny so the cost is negligible
+    hi = jax.lax.Precision.HIGHEST
+    wy = jnp.asarray(interp_matrix(h, oh), x.dtype)
+    wx = jnp.asarray(interp_matrix(w, ow), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x, precision=hi)
+    return jnp.einsum("pw,bowc->bopc", wx, y, precision=hi)
 
 
 class TorchUp(nn.Module):
