@@ -50,7 +50,10 @@ class DeviceBatchCache:
 
         ``source`` must be a FRESH iterable of host (or device) batches in
         a stable order; it is only consumed on the first epoch and for any
-        overflow tail on later epochs.
+        overflow tail on later epochs. A source with ``__getitem__`` +
+        ``__len__`` (a lazy batch sequence) is skipped INDEXABLY — the
+        cached prefix costs no host work at all; a plain generator is
+        skipped by consuming (each skipped item is still produced).
         """
         import jax
 
@@ -63,9 +66,12 @@ class DeviceBatchCache:
         # batch overflows the cap, caching stops for good — a later small
         # batch must NOT be cached out of order.
         yield from self._cached
-        it = iter(source)
-        for _ in range(len(self._cached)):
-            next(it, None)  # skip the frames the cache already covers
+        if hasattr(source, "__getitem__") and hasattr(source, "__len__"):
+            it = (source[i] for i in range(len(self._cached), len(source)))
+        else:
+            it = iter(source)
+            for _ in range(len(self._cached)):
+                next(it, None)  # skip the frames the cache already covers
         full = self._bytes >= self.max_bytes or getattr(
             self, "_overflowed", False)
         for batch in it:
