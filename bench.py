@@ -536,13 +536,17 @@ def stage_system_scale(n_frames: int = 2800):
 
 
 FAMILY_YAMLS = {
-    # reference-config scale for each non-flagship family that has never
-    # touched the chip (VERDICT r3 weak #4): SECOND's dense masked 3D conv
-    # is SURVEY §7's top kernel risk, PIXOR is the dense anchor-free path,
-    # LSS is the camera frustum + voxel-pool scatter path.
-    "second": "second_intermediate.yaml",
+    # reference-config scale for each non-flagship family (VERDICT r3 weak
+    # #4): PIXOR is the dense anchor-free path, LSS the camera frustum +
+    # voxel-pool scatter path, SECOND the sparse 3D conv path. SECOND runs
+    # LAST: in round 4 its searchsorted-scan kernel faulted the TPU worker
+    # and the NEXT family subprocess (pixor) aborted on the poisoned
+    # worker — the r4 "undiagnosed PIXOR abort" was that collateral
+    # (pixor alone measures 28.6 fps on the same code). Ordering the
+    # riskiest program last keeps a fault from nulling its neighbors.
     "pixor": "pixor_intermediate.yaml",
     "lss": "lss_coalign_fusion.yaml",
+    "second": "second_intermediate.yaml",
 }
 
 
