@@ -108,7 +108,12 @@ class PillarEncoder(nn.Module):
         # pathological XLA layout at F=20. Keep the sentinel form.
         # custom-VJP scatter: identical forward; the hand-written backward
         # does 2 canvas gathers instead of autodiff's 4 + extra scatter
-        # (~9 ms of the 82 ms OPV2V train step, device-traced 2026-08-20)
+        # (~9 ms of the 82 ms OPV2V train step, device-traced 2026-08-20).
+        # RACED (r5): the batch-aware flat-global-index call (no vmap,
+        # scatter_max_bev_cvjp batched path) shrinks the backward gather
+        # but adds layout copies around the flat reshape — B=4 train
+        # measured 20.2 vs 20.8 fps, B=1 14.09 vs 13.93 (v5e 2026-08-20).
+        # The vmapped form stays; the batched impl remains available.
         bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev_cvjp(
             xi, i, v, self.spec))(x, ids, valid)
         if z is not None:

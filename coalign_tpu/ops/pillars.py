@@ -307,7 +307,16 @@ def scatter_max_bev_nosentinel(point_feats, ids, valid, spec: PillarSpec):
 def _scatter_max_fwd_impl(point_feats, ids, valid, spec: PillarSpec):
     num_seg = spec.ny * spec.nx + 1
     neg = jnp.finfo(point_feats.dtype).min
-    feats = jnp.where(valid[:, None], point_feats, neg)
+    feats = jnp.where(valid[..., None], point_feats, neg)
+    if point_feats.ndim == 3:  # batched (F, N, C): ONE flat segment op
+        f, n, c = point_feats.shape
+        base = (jnp.arange(f, dtype=ids.dtype) * num_seg)[:, None]
+        bev = jax.ops.segment_max(feats.reshape(f * n, c),
+                                  (ids + base).reshape(f * n),
+                                  num_segments=f * num_seg,
+                                  indices_are_sorted=True)
+        bev = jnp.maximum(bev.reshape(f, num_seg, c)[:, :-1], 0.0)
+        return bev.reshape(f, spec.ny, spec.nx, c)
     bev = jax.ops.segment_max(feats, ids, num_segments=num_seg,
                               indices_are_sorted=True)
     bev = jnp.maximum(bev[:-1], 0.0)
@@ -320,6 +329,12 @@ from functools import partial as _partial  # noqa: E402
 @_partial(jax.custom_vjp, nondiff_argnums=(3,))
 def scatter_max_bev_cvjp(point_feats, ids, valid, spec: PillarSpec):
     """scatter_max_bev (sorted ids) with a HAND-WRITTEN backward.
+
+    Batch-aware: (N, C) -> (ny, nx, C) or (F, N, C) -> (F, ny, nx, C) in
+    ONE flat segment op / gather with global indices — the vmapped form's
+    batch-dim backward gather measured 8.2 ms at B=4 (20 frames) where
+    the flat global-index gather is ~3 ms (v5e trace, 2026-08-20; same
+    lowering gap as the sparse-conv gathers).
 
     Autodiff of the segment_max + clamp chain emits FOUR full-canvas
     gathers plus a second (winner-index) scatter per frame — device-traced
@@ -358,13 +373,22 @@ def _scatter_max_cvjp_bwd(spec, res, g):
     cells = spec.ny * spec.nx
     c = point_feats.shape[-1]
     safe = jnp.minimum(ids, cells - 1)
-    packed = jnp.concatenate(
-        [bev.reshape(cells, c), g.reshape(cells, c).astype(bev.dtype)],
-        axis=-1)
-    rows = jnp.take(packed, safe, axis=0)
-    top = rows[:, :c]
-    gg = rows[:, c:].astype(g.dtype)
-    win = valid[:, None] & (point_feats == top)
+    if point_feats.ndim == 3:  # batched: flat global-index gather
+        f, n, _ = point_feats.shape
+        base = (jnp.arange(f, dtype=ids.dtype) * cells)[:, None]
+        safe = (safe + base).reshape(f * n)
+        packed = jnp.concatenate(
+            [bev.reshape(f * cells, c),
+             g.reshape(f * cells, c).astype(bev.dtype)], axis=-1)
+        rows = jnp.take(packed, safe, axis=0).reshape(f, n, 2 * c)
+    else:
+        packed = jnp.concatenate(
+            [bev.reshape(cells, c), g.reshape(cells, c).astype(bev.dtype)],
+            axis=-1)
+        rows = jnp.take(packed, safe, axis=0)
+    top = rows[..., :c]
+    gg = rows[..., c:].astype(g.dtype)
+    win = valid[..., None] & (point_feats == top)
     gpts = jnp.where(win, gg, 0).astype(point_feats.dtype)
     f0 = jax.dtypes.float0
     return (gpts, _np.zeros(ids.shape, f0), _np.zeros(valid.shape, f0))

@@ -65,3 +65,31 @@ def test_batches_stay_usable_in_jit():
     ep = list(cache.epoch(_batches(3)))
     f = jax.jit(lambda b: jnp.sum(b["x"]))
     assert float(f(ep[2])) == 2.0 * 1024
+
+
+def test_indexable_source_skipped_without_consumption():
+    """A sequence source's cached prefix must not be re-materialized on
+    steady-state epochs (the real-split-scale bench relies on this)."""
+    from coalign_tpu.data.device_cache import DeviceBatchCache
+
+    import numpy as np
+
+    calls = []
+
+    class Seq:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    per = 16  # bytes of one (2,2) f32 leaf
+    cache = DeviceBatchCache(max_bytes=3 * per)
+    got1 = [int(b["x"][0, 0]) for b in cache.epoch(Seq())]
+    assert got1 == [0, 1, 2, 3, 4] and calls == [0, 1, 2, 3, 4]
+    assert cache.num_cached == 3
+    calls.clear()
+    got2 = [int(np.asarray(b["x"])[0, 0]) for b in cache.epoch(Seq())]
+    assert got2 == [0, 1, 2, 3, 4]
+    assert calls == [3, 4], calls  # prefix replayed, tail re-fetched

@@ -169,3 +169,40 @@ def test_scatter_max_bev_cvjp_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(jax.grad(loss2)(f2)),
                                np.asarray(jax.grad(loss2_ref)(f2)),
                                rtol=0, atol=1e-6)
+
+
+def test_scatter_max_bev_cvjp_batched_matches_vmapped(rng):
+    """The batch-aware (F, N, C) cvjp path — one flat segment op /
+    global-index gather — must match the vmapped per-frame form in both
+    forward and backward (it lost the e2e race on layout copies but
+    remains a supported calling convention)."""
+    from coalign_tpu.ops import pillars as P
+
+    spec = P.PillarSpec.from_config([-4, -4, -3, 4, 4, 1], [0.5, 0.5, 4])
+    f, n, c = 3, 200, 8
+    pts = rng.uniform(-5, 5, (f, n, 4)).astype(np.float32)
+    mask = rng.uniform(size=(f, n)) > 0.2
+    ids, valid = jax.vmap(lambda p, m: P.pillar_ids(p, m, spec))(
+        jnp.asarray(pts), jnp.asarray(mask))
+    feats = jnp.asarray(rng.normal(size=(f, n, c)).astype(np.float32))
+    # sorted ids per frame (the cvjp contract)
+    order = jnp.argsort(ids, axis=1)
+    ids = jnp.take_along_axis(ids, order, axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+    feats = jax.nn.relu(feats)  # non-negative like the encoder output
+
+    def loss_vmapped(x):
+        bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev_cvjp(
+            xi, i, v, spec))(x, ids, valid)
+        return jnp.sum(jnp.sin(bev) * bev), bev
+
+    def loss_batched(x):
+        bev = P.scatter_max_bev_cvjp(x, ids, valid, spec)
+        return jnp.sum(jnp.sin(bev) * bev), bev
+
+    (l1, b1), g1 = jax.value_and_grad(loss_vmapped, has_aux=True)(feats)
+    (l2, b2), g2 = jax.value_and_grad(loss_batched, has_aux=True)(feats)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)

@@ -217,3 +217,43 @@ def test_batched_grid_ops_match_per_frame():
         np.testing.assert_allclose(np.asarray(dense_b[i]),
                                    np.asarray(to_dense(out_1["out"])),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_canvas_lookup_matches_sort_lookup():
+    """The rank-canvas rulebook lookup must agree with the sort-merge
+    lookup exactly — both batched and single-frame — since the budget
+    gate (CANVAS_BUDGET_BYTES) silently switches between them."""
+    from coalign_tpu.ops import sparse_conv as sc
+
+    xs = [_rand_dense((7, 12, 20), 3, density=0.08, seed=60 + i)
+          for i in range(2)]
+    gs = [from_dense(x, max_voxels=256) for x in xs]
+    batched = SparseGrid(
+        keys=jnp.stack([g.keys for g in gs]),
+        feats=jnp.stack([g.feats for g in gs]),
+        valid=jnp.stack([g.valid for g in gs]), shape=gs[0].shape)
+
+    orig = sc.CANVAS_BUDGET_BYTES
+    try:
+        sc.CANVAS_BUDGET_BYTES = 0  # force the sort-merge path
+        idx_s, fnd_s = jax.jit(lambda: sc.subm_rulebook(batched))()
+        sc.CANVAS_BUDGET_BYTES = orig  # canvas path (tiny grid fits)
+        idx_c, fnd_c = jax.jit(lambda: sc.subm_rulebook(batched))()
+    finally:
+        sc.CANVAS_BUDGET_BYTES = orig
+    np.testing.assert_array_equal(np.asarray(fnd_s), np.asarray(fnd_c))
+    # row indices must agree wherever a neighbor exists
+    m = np.asarray(fnd_s)
+    np.testing.assert_array_equal(np.asarray(idx_s)[m], np.asarray(idx_c)[m])
+
+    # and the conv outputs must match through both paths
+    w = jnp.asarray(np.random.default_rng(3).normal(
+        size=(3, 3, 3, 3, 5)).astype(np.float32))
+    try:
+        sc.CANVAS_BUDGET_BYTES = 0
+        out_s = jax.jit(lambda: subm_conv(batched, w))()
+    finally:
+        sc.CANVAS_BUDGET_BYTES = orig
+    out_c = jax.jit(lambda: subm_conv(batched, w))()
+    np.testing.assert_allclose(np.asarray(out_s.feats),
+                               np.asarray(out_c.feats), rtol=1e-6)
