@@ -546,6 +546,10 @@ FAMILY_YAMLS = {
     # riskiest program last keeps a fault from nulling its neighbors.
     "pixor": "pixor_intermediate.yaml",
     "lss": "lss_coalign_fusion.yaml",
+    # DAIR-V2X-C geometry (real-world dataset config): 201.6 m x-range,
+    # max_cav 2, z-5 voxels — a different grid family than every OPV2V
+    # stage, exercised on the chip each round for breadth
+    "dair_coalign": "../dairv2x/pointpillar_coalign.yaml",
     "second": "second_intermediate.yaml",
 }
 
