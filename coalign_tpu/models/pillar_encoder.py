@@ -114,6 +114,10 @@ class PillarEncoder(nn.Module):
         # but adds layout copies around the flat reshape — B=4 train
         # measured 20.2 vs 20.8 fps, B=1 14.09 vs 13.93 (v5e 2026-08-20).
         # The vmapped form stays; the batched impl remains available.
+        # RACED AGAIN (r5, no-sentinel batched global-id form): B=1 infer
+        # 48.9 (+0.9%) but B=4 infer 20.4 and B=4 train 11.9 — the same
+        # pathological XLA canvas layout at F=20 the r4 nosentinel race
+        # hit. The vmapped per-frame sentinel form stays.
         bev = jax.vmap(lambda xi, i, v: P.scatter_max_bev_cvjp(
             xi, i, v, self.spec))(x, ids, valid)
         if z is not None:

@@ -309,13 +309,20 @@ def _scatter_max_fwd_impl(point_feats, ids, valid, spec: PillarSpec):
     neg = jnp.finfo(point_feats.dtype).min
     feats = jnp.where(valid[..., None], point_feats, neg)
     if point_feats.ndim == 3:  # batched (F, N, C): ONE flat segment op
+        # NO sentinel row: invalid points clamp to the frame's last cell
+        # where their -inf features lose every max (empty cells stay -inf
+        # -> clamped to 0 below, the reference's zero-init canvas). Keeps
+        # global ids sorted AND makes the output exactly (F*cells, C) —
+        # no interleaved per-frame sentinel slice (a strided 180 MB copy)
         f, n, c = point_feats.shape
-        base = (jnp.arange(f, dtype=ids.dtype) * num_seg)[:, None]
+        cells = num_seg - 1
+        base = (jnp.arange(f, dtype=ids.dtype) * cells)[:, None]
+        gids = jnp.minimum(ids, cells - 1) + base
         bev = jax.ops.segment_max(feats.reshape(f * n, c),
-                                  (ids + base).reshape(f * n),
-                                  num_segments=f * num_seg,
+                                  gids.reshape(f * n),
+                                  num_segments=f * cells,
                                   indices_are_sorted=True)
-        bev = jnp.maximum(bev.reshape(f, num_seg, c)[:, :-1], 0.0)
+        bev = jnp.maximum(bev, 0.0)
         return bev.reshape(f, spec.ny, spec.nx, c)
     bev = jax.ops.segment_max(feats, ids, num_segments=num_seg,
                               indices_are_sorted=True)

@@ -176,6 +176,9 @@ def test_scatter_max_bev_cvjp_batched_matches_vmapped(rng):
     global-index gather — must match the vmapped per-frame form in both
     forward and backward (it lost the e2e race on layout copies but
     remains a supported calling convention)."""
+    import jax
+    import jax.numpy as jnp
+
     from coalign_tpu.ops import pillars as P
 
     spec = P.PillarSpec.from_config([-4, -4, -3, 4, 4, 1], [0.5, 0.5, 4])
