@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from coalign_tpu.models.layers import BasicBlock, MaskedBatchNorm
+from coalign_tpu.models.layers import compute_dtype, BasicBlock, MaskedBatchNorm
 
 # efficientnet-b0 MBConv stack: (in_ch, out_ch, kernel, stride, expand).
 # Derived from the b0 blocks_args r{repeats}_k{kernel}_s{stride}_e{expand}
@@ -101,11 +101,11 @@ class TorchUp(nn.Module):
         x1 = upsample_align_corners(x1, self.scale)
         x = jnp.concatenate([x2, x1], axis=-1)
         x = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, name="conv1", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(epsilon=1e-5, name="bn1")(x, train=train)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2,
-                    use_bias=False, name="conv2")(x)
+                    use_bias=False, name="conv2", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(epsilon=1e-5, name="bn2")(x, train=train)
         return nn.relu(x)
 
@@ -128,23 +128,23 @@ class MBConvBlock(nn.Module):
         exp_ch = self.in_ch * self.expand
         if self.expand != 1:
             x = nn.Conv(exp_ch, (1, 1), use_bias=False,
-                        name="expand_conv")(x)
+                        name="expand_conv", dtype=compute_dtype())(x)
             x = MaskedBatchNorm(name="bn0")(x, train=train)
             x = swish(x)
         x = nn.Conv(exp_ch, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     feature_group_count=exp_ch, use_bias=False,
-                    name="depthwise_conv")(x)
+                    name="depthwise_conv", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(name="bn1")(x, train=train)
         x = swish(x)
         # squeeze-excite
         se = jnp.mean(x, axis=(1, 2), keepdims=True)
-        se = nn.Conv(max(1, self.in_ch // 4), (1, 1), name="se_reduce")(se)
+        se = nn.Conv(max(1, self.in_ch // 4), (1, 1), name="se_reduce", dtype=compute_dtype())(se)
         se = swish(se)
-        se = nn.Conv(exp_ch, (1, 1), name="se_expand")(se)
+        se = nn.Conv(exp_ch, (1, 1), name="se_expand", dtype=compute_dtype())(se)
         x = nn.sigmoid(se) * x
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False,
-                    name="project_conv")(x)
+                    name="project_conv", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(name="bn2")(x, train=train)
         if self.stride == 1 and self.in_ch == self.out_ch:
             x = x + inputs
@@ -161,7 +161,7 @@ class EfficientNetB0(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, name="conv_stem")(x)
+                    use_bias=False, name="conv_stem", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(name="bn0")(x, train=train)
         x = swish(x)
         endpoints = {}
@@ -187,22 +187,22 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1", dtype=compute_dtype())(x)
         out = MaskedBatchNorm(epsilon=1e-5, name="bn1")(out, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3),
                       strides=(self.stride, self.stride),
                       padding=[(1, 1)] * 2, use_bias=False,
-                      name="conv2")(out)
+                      name="conv2", dtype=compute_dtype())(out)
         out = MaskedBatchNorm(epsilon=1e-5, name="bn2")(out, train=train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name="conv3")(out)
+                      name="conv3", dtype=compute_dtype())(out)
         out = MaskedBatchNorm(epsilon=1e-5, name="bn3")(out, train=train)
         if self.stride != 1 or x.shape[-1] != self.planes * 4:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="down_conv")(x)
+                               use_bias=False, name="down_conv", dtype=compute_dtype())(x)
             identity = MaskedBatchNorm(epsilon=1e-5, name="down_bn")(
                 identity, train=train)
         return nn.relu(out + identity)
@@ -218,7 +218,7 @@ class ResNet101Trunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, name="conv1", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(epsilon=1e-5, name="bn1")(x, train=train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
@@ -239,7 +239,7 @@ class ResNet18Layers(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, name="conv1", dtype=compute_dtype())(x)
         x = MaskedBatchNorm(epsilon=1e-5, name="bn1")(x, train=train)
         x = nn.relu(x)
         x1 = BasicBlock(64, 1, name="layer1_0")(x, train=train)
