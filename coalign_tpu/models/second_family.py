@@ -118,7 +118,11 @@ class _VoxelBase(nn.Module):
             feats = SparseVoxelBackbone8x(
                 out_features=out_features,
                 name="VoxelBackbone8x_0")(grid, train=train)
-            return height_compression(to_dense(feats["out"]))
+            out = feats["out"]
+            # the backbone's dense stage-4 tail already returns an array
+            if not hasattr(out, "keys"):
+                return height_compression(out)
+            return height_compression(to_dense(out))
         grid = self._voxelize(batch)
         feats = VoxelBackbone8x(out_features=out_features,
                                 name="VoxelBackbone8x_0")(grid, train=train)

@@ -18,12 +18,16 @@ from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from coalign_tpu.models.layers import ConvBNReLU, MaskedBatchNorm
 
 
 class Conv3DBNReLU(nn.Module):
-    """NDHWC 3D conv + BN + ReLU."""
+    """NDHWC 3D conv + BN + ReLU. ``mask`` (broadcastable to the conv
+    OUTPUT's leading dims) restricts BN statistics to active sites —
+    spconv's BatchNorm1d-over-feature-rows semantics for the dense
+    submanifold form."""
 
     features: int
     kernel: tuple = (3, 3, 3)
@@ -31,7 +35,7 @@ class Conv3DBNReLU(nn.Module):
     padding: Any = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * 3
@@ -39,7 +43,7 @@ class Conv3DBNReLU(nn.Module):
             pad = [(p, p) for p in pad]
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=pad, use_bias=False)(x)
-        x = MaskedBatchNorm()(x, train=train)
+        x = MaskedBatchNorm()(x, mask=mask, train=train)
         return nn.relu(x)
 
 
@@ -230,11 +234,20 @@ class SparseVoxelBackbone8x(nn.Module):
     """
 
     out_features: int = 128
+    # Dense stage-4 tail: after the 8x downsample the grid is small
+    # (OPV2V SECOND: (6, 104, 352) x 64 ch = 140 MB dense over 5 frames)
+    # and a dense masked conv runs at MXU speed (measured 18.6 ms vs
+    # ~68 ms/conv of row gathers in the sparse form, v5e 2026-08-21), so
+    # convs 9-11 run dense whenever the dense stage-4 tensor fits the
+    # byte budget. Param tree is IDENTICAL either way (same module names,
+    # same kernel layout); BN passes the occupancy as its mask so batch
+    # statistics still run over active sites only, like spconv.
+    dense_tail_budget_bytes: int = 1 << 30
 
     @nn.compact
     def __call__(self, grid, train: bool = False):
         from coalign_tpu.ops.sparse_conv import (downsample_active,
-                                                 subm_rulebook)
+                                                 subm_rulebook, to_dense)
 
         def conv(i, feats, g, out_set=None, rulebook=None, **kw):
             return SparseConv3DBNReLU(feats, name=f"Conv3DBNReLU_{i}",
@@ -263,13 +276,43 @@ class SparseVoxelBackbone8x(nn.Module):
         pz = 0 if (d3 - 3) // 2 + 1 >= 1 else 1
         s4 = downsample_active(x3, pad=(pz, 1, 1))
         x = conv(8, 64, x3, s4, stride=(2, 2, 2), padding=(pz, 1, 1))
+
+        nframes = x.keys.shape[0] if x.keys.ndim == 2 else 1
+        d4 = x.shape[0]
+        kz = min(3, d4)
+        sz = 2 if d4 > kz else 1
+        dense_bytes = (nframes * int(np.prod(x.shape)) * 64
+                       * x.feats.dtype.itemsize)
+        if dense_bytes <= self.dense_tail_budget_bytes:
+            xd = to_dense(x)
+            if xd.ndim == 4:
+                xd = xd[None]  # single frame -> (1, D, H, W, C)
+            occ = (jnp.abs(xd).sum(-1, keepdims=True) > 0).astype(xd.dtype)
+            mask = occ[..., 0]
+
+            def dsubm(i, feats, y):
+                y = Conv3DBNReLU(feats, name=f"Conv3DBNReLU_{i}")(
+                    y, train=train, mask=mask)
+                return y * occ
+
+            y = dsubm(9, 64, xd)
+            x4 = dsubm(10, 64, y)
+            occ_out = nn.max_pool(occ, (kz, 1, 1), strides=(sz, 1, 1),
+                                  padding=[(0, 0)] * 3)
+            out = Conv3DBNReLU(self.out_features, kernel=(kz, 1, 1),
+                               stride=(sz, 1, 1), padding=(0, 0, 0),
+                               name="Conv3DBNReLU_11")(
+                x4, train=train, mask=occ_out[..., 0])
+            out = out * occ_out
+            if x.keys.ndim == 1:
+                x4, out = x4[0], out[0]
+            return {"x_conv1": x1, "x_conv2": x2, "x_conv3": x3,
+                    "x_conv4": x4, "out": out}
+
         rb4 = subm_rulebook(x)
         x = conv(9, 64, x, rulebook=rb4)
         x4 = conv(10, 64, x, rulebook=rb4)
 
-        d4 = x4.shape[0]
-        kz = min(3, d4)
-        sz = 2 if d4 > kz else 1
         s5 = downsample_active(x4, kernel=(kz, 1, 1), stride=(sz, 1, 1),
                                pad=(0, 0, 0))
         out = conv(11, self.out_features, x4, s5, kernel=(kz, 1, 1),

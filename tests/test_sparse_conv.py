@@ -180,15 +180,24 @@ def test_sparse_backbone_matches_dense_twin():
     assert [(jax.tree_util.keystr(p), v.shape) for p, v in dflat] == \
            [(jax.tree_util.keystr(p), v.shape) for p, v in sflat]
 
+    def as_dense(o):
+        return to_dense(o) if hasattr(o, "keys") else o
+
     out_d = dense_bb.apply(dvars, x[None], train=False)
+    # default: dense stage-4 tail active at toy scale (fits the budget)
     out_s = sparse_bb.apply(dvars, g, train=False)  # dense params verbatim
-    np.testing.assert_allclose(np.asarray(to_dense(out_s["out"])),
-                               np.asarray(out_d["out"][0]),
-                               rtol=2e-4, atol=2e-4)
-    for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
-        np.testing.assert_allclose(np.asarray(to_dense(out_s[k])),
-                                   np.asarray(out_d[k][0]),
-                                   rtol=2e-4, atol=2e-4, err_msg=k)
+    # budget 0: the all-sparse tail, same params
+    out_s0 = SparseVoxelBackbone8x(
+        out_features=32, dense_tail_budget_bytes=0).apply(
+        dvars, g, train=False)
+    for out_v in (out_s, out_s0):
+        np.testing.assert_allclose(np.asarray(as_dense(out_v["out"])),
+                                   np.asarray(out_d["out"][0]),
+                                   rtol=2e-4, atol=2e-4)
+        for k in ("x_conv1", "x_conv2", "x_conv3", "x_conv4"):
+            np.testing.assert_allclose(np.asarray(as_dense(out_v[k])),
+                                       np.asarray(out_d[k][0]),
+                                       rtol=2e-4, atol=2e-4, err_msg=k)
 
 
 def test_batched_grid_ops_match_per_frame():
@@ -206,7 +215,7 @@ def test_batched_grid_ops_match_per_frame():
         feats=jnp.stack([g.feats for g in gs]),
         valid=jnp.stack([g.valid for g in gs]), shape=gs[0].shape)
 
-    bb = SparseVoxelBackbone8x(out_features=32)
+    bb = SparseVoxelBackbone8x(out_features=32, dense_tail_budget_bytes=0)
     variables = bb.init(jax.random.PRNGKey(1), gs[0], train=False)
     out_b = bb.apply(variables, batched, train=False)
     assert out_b["out"].shape == (1, 2, 3), out_b["out"].shape
@@ -217,6 +226,11 @@ def test_batched_grid_ops_match_per_frame():
         np.testing.assert_allclose(np.asarray(dense_b[i]),
                                    np.asarray(to_dense(out_1["out"])),
                                    rtol=1e-5, atol=1e-6)
+    # dense stage-4 tail (default budget): same result, array output
+    bb_dt = SparseVoxelBackbone8x(out_features=32)
+    out_dt = bb_dt.apply(variables, batched, train=False)
+    np.testing.assert_allclose(np.asarray(out_dt["out"]),
+                               np.asarray(dense_b), rtol=2e-5, atol=2e-6)
 
 
 def test_canvas_lookup_matches_sort_lookup():

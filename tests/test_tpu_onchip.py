@@ -59,7 +59,9 @@ dn = VoxelBackbone8x(out_features=32)
 # grid closed over, never a jit argument: SparseGrid's static shape
 # tuple must not be traced
 vars_sp = jax.jit(lambda: sp.init(jax.random.PRNGKey(0), grid))()
-out_sp = jax.jit(lambda v: to_dense(
+def _as_dense(o):
+    return to_dense(o) if hasattr(o, "keys") else o
+out_sp = jax.jit(lambda v: _as_dense(
     sp.apply(v, grid, train=False)["out"]))(vars_sp)
 # identical param trees: the dense twin loads the sparse weights
 out_dn = jax.jit(lambda x, v: dn.apply(v, x[None], train=False)["out"][0])(
